@@ -143,25 +143,30 @@ def forward_kinematics(model: RobotModel, q):
     return jnp.stack(rots), jnp.stack(trans)
 
 
-def frame_placement(model: RobotModel, q, fid: int) -> SE3:
-    """World placement of a named frame — replaces ``pinocchio.Data.oMf``."""
-    rots, trans = forward_kinematics(model, q)
+def frame_placement_from_fk(model: RobotModel, rots, trans, fid: int) -> SE3:
+    """Frame placement from precomputed FK (shared-kinematics fast path)."""
     j = model.frame_parents[fid]
     R = rots[j] @ model.frame_rot[fid]
     p = rots[j] @ model.frame_pos[fid] + trans[j]
     return SE3(R, p)
 
 
-def frame_jacobian_local(model: RobotModel, q, fid: int):
-    """LOCAL frame Jacobian (6 x nv, [linear; angular] rows).
+def frame_placement(model: RobotModel, q, fid: int) -> SE3:
+    """World placement of a named frame — replaces ``pinocchio.Data.oMf``."""
+    rots, trans = forward_kinematics(model, q)
+    return frame_placement_from_fk(model, rots, trans, fid)
+
+
+def frame_jacobian_local_from_fk(model: RobotModel, rots, trans, fid: int, dtype=None):
+    """LOCAL frame Jacobian from precomputed FK (6 x nv, [linear; angular]).
 
     Replaces ``pinocchio.getFrameJacobian(..., ReferenceFrame.LOCAL)``
     (reference ``python/aslr_to/residual_frame_placement.py:21-22``).
     """
-    rots, trans = forward_kinematics(model, q)
     j = model.frame_parents[fid]
     fR = rots[j] @ model.frame_rot[fid]
     fp = rots[j] @ model.frame_pos[fid] + trans[j]
+    dtype = dtype or trans.dtype
 
     cols = []
     nv = model.nv
@@ -178,8 +183,14 @@ def frame_jacobian_local(model: RobotModel, q, fid: int):
             v_world = jnp.cross(w_world, fp - trans[i])
             cols.append(jnp.concatenate([fR.T @ v_world, fR.T @ w_world]))
         else:
-            cols.append(jnp.zeros(6, dtype=q.dtype))
+            cols.append(jnp.zeros(6, dtype=dtype))
     return jnp.stack(cols, axis=1)
+
+
+def frame_jacobian_local(model: RobotModel, q, fid: int):
+    """LOCAL frame Jacobian at q (convenience wrapper)."""
+    rots, trans = forward_kinematics(model, q)
+    return frame_jacobian_local_from_fk(model, rots, trans, fid, dtype=q.dtype)
 
 
 # ---------------------------------------------------------------------------
