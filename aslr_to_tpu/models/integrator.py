@@ -97,5 +97,37 @@ class IntegratedActionEuler:
 
         return ActionDerivs(Fx=Fx, Fu=Fu, Lx=cd.Lx, Lu=cd.Lu, Lxx=cd.Lxx, Lxu=cd.Lxu, Luu=cd.Luu)
 
+    def calc_with_diff(self, x, u):
+        """(ActionData, ActionDerivs) sharing one dynamics evaluation —
+        the fused path the solver's linearization sweep uses."""
+        nv = self.state.nv
+        ndx = self.state.ndx
+        dt = self.dt
+        data = self.differential.calc(x, u)
+        d = self.differential.calc_diff(x, u, data)
+        cd: CostDerivs = d.costs
+
+        if dt == 0.0:
+            action = ActionData(xnext=x, cost=data.cost)
+            derivs = ActionDerivs(
+                Fx=jnp.eye(ndx, dtype=x.dtype),
+                Fu=jnp.zeros((ndx, self.nu), dtype=x.dtype),
+                Lx=cd.Lx, Lu=cd.Lu, Lxx=cd.Lxx, Lxu=cd.Lxu, Luu=cd.Luu,
+            )
+            return action, derivs
+
+        dx = self._dx(x, data.xout)
+        action = ActionData(xnext=self.state.integrate(x, dx), cost=data.cost)
+
+        dxnext_dx, dxnext_ddx = self.state.jintegrate(x, dx)
+        da_dx, da_du = d.Fx, d.Fu
+        shift = jnp.zeros((nv, ndx), dtype=x.dtype).at[:, nv:2 * nv].set(jnp.eye(nv, dtype=x.dtype))
+        ddx_dx = jnp.concatenate([da_dx * dt + shift, da_dx], axis=0)
+        Fx = dxnext_dx + dt * (dxnext_ddx @ ddx_dx)
+        ddx_du = jnp.concatenate([da_du * dt, da_du], axis=0)
+        Fu = dt * (dxnext_ddx @ ddx_du)
+        derivs = ActionDerivs(Fx=Fx, Fu=Fu, Lx=cd.Lx, Lu=cd.Lu, Lxx=cd.Lxx, Lxu=cd.Lxu, Luu=cd.Luu)
+        return action, derivs
+
     def quasi_static(self, x):
         return self.differential.quasi_static(x)

@@ -96,18 +96,24 @@ def asr_twodof(dtype=jnp.float64) -> RobotModel:
     """
     eye = np.eye(3)
     l1, l2 = 0.13, 0.125
+    # Small off-axis offsets as in the real URDF (the reference's own FK
+    # printout at q=0 is [-2.54999919e-01, 2.03063311e-04, 0.18] — not
+    # perfectly axis-aligned). These break the exact gravity equilibrium at
+    # q=0, which the VSA cold-start workload relies on to escape the
+    # zero-stiffness saddle (examples/two_dof_vsa_boxddp.py solves from
+    # us=0 where a perfectly symmetric arm would have zero gradient).
     return make_chain(
         name="asr_twodof",
-        joint_pos=[[0.0, 0.0, 0.09], [-l1, 0.0, 0.05]],
+        joint_pos=[[0.0, 0.0, 0.09], [-l1, 1.0e-04, 0.05]],
         joint_rot=[eye, eye],
         axes=[[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]],
         masses=[0.3, 0.25],
-        coms=[[-l1 / 2, 0.0, 0.02], [-l2 / 2, 0.0, 0.02]],
+        coms=[[-l1 / 2, 5.0e-04, 0.02], [-l2 / 2, 5.0e-04, 0.02]],
         inertias=[
             [1e-5, 0.3 * l1 ** 2 / 12, 0.3 * l1 ** 2 / 12],
             [1e-5, 0.25 * l2 ** 2 / 12, 0.25 * l2 ** 2 / 12],
         ],
-        frames=[("EE", 1, np.eye(3), [-l2, 2.03063311e-04, 0.04])],
+        frames=[("EE", 1, np.eye(3), [-l2, 1.03063311e-04, 0.04])],
         dtype=dtype,
     )
 

@@ -1,0 +1,54 @@
+"""Workload runner: solve a preset and report the reference's metrics
+(final EE placement, control effort, convergence trace).
+
+Replaces the reference example scripts' solve-and-print logic
+(``examples/two_dof_sea.py:78-93``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import rigid_body as rbd
+from ..solvers.ddp import SolveResult, SolverSettings, solve
+from ..utils.metrics import u_squared
+from .presets import PRESETS, Workload
+
+
+class WorkloadResult(NamedTuple):
+    result: SolveResult
+    ee_final: jnp.ndarray     # final EE translation (or zeros if no frame)
+    u_sq: jnp.ndarray         # per-channel control effort, SURVEY §5
+
+
+def solve_workload(w: Workload, settings: SolverSettings = None) -> SolveResult:
+    """Jit-compiled solve of one workload (warm start included)."""
+    p = w.problem
+    if settings is None:
+        settings = SolverSettings(maxiter=w.maxiter, th_stop=w.th_stop)
+
+    use_gaps = w.solver in ("fddp", "boxfddp")
+    bounds = w.bounds if w.solver in ("boxddp", "boxfddp") else None
+
+    def _solve(problem):
+        xs0 = jnp.broadcast_to(problem.x0, (p.T + 1,) + problem.x0.shape)
+        if w.warm_start:
+            us0 = problem.quasi_static(xs0[:-1])
+        else:
+            us0 = jnp.zeros((p.T, p.nu), dtype=problem.x0.dtype)
+        return solve(problem, xs0, us0, settings=settings, use_gaps=use_gaps, bounds=bounds)
+
+    return jax.jit(_solve)(p)
+
+
+def run_workload(name_or_workload, settings: SolverSettings = None, **kwargs) -> WorkloadResult:
+    w = PRESETS[name_or_workload](**kwargs) if isinstance(name_or_workload, str) else name_or_workload
+    res = solve_workload(w, settings)
+    if w.ee_frame is not None:
+        q_l = res.xs[-1][: w.problem.state.nl]
+        ee = rbd.frame_placement(w.problem.state.robot, q_l, w.ee_frame).trans
+    else:
+        ee = jnp.zeros(3, dtype=res.xs.dtype)
+    return WorkloadResult(result=res, ee_final=ee, u_sq=u_squared(res.us))
