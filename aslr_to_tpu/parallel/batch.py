@@ -1,0 +1,87 @@
+"""Batched and sharded solving — the throughput axis of the framework.
+
+The reference solves one problem per process ("run the script many
+times"); here thousands of scenarios (initial states, stiffness settings,
+targets) solve per chip under one ``vmap``, and the batch shards over a
+device mesh (ICI within a slice, DCN across hosts) via GSPMD. Convergence
+is masked per scenario — a diverging batch entry cannot poison the others
+(SURVEY §5 failure-detection plan): every scenario runs the same program
+with its own done/converged flags, and results carry those flags.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..solvers.ddp import Bounds, SolverSettings, SolveResult, solve
+from ..solvers.problem import ShootingProblem
+from .mesh import BATCH_AXIS, batch_sharding, make_batch_mesh
+
+
+def make_batched_solver(
+    problem: ShootingProblem,
+    settings: SolverSettings = SolverSettings(),
+    use_gaps: bool = True,
+    bounds: Optional[Bounds] = None,
+    warm_start: bool = False,
+    keep_log: bool = False,
+):
+    """Build ``solve_batch(x0s) -> SolveResult`` vmapped over initial states.
+
+    ``x0s`` has shape [B, nx]; every other problem leaf is shared. The
+    returned function is jit-compiled; feed it sharded ``x0s`` (see
+    :func:`sharded_solve`) to scale across a mesh.
+    """
+
+    def one(x0):
+        p = dataclasses.replace(problem, x0=x0)
+        xs0 = jnp.broadcast_to(x0, (p.T + 1,) + x0.shape)
+        if warm_start:
+            us0 = p.quasi_static(xs0[:-1])
+        else:
+            us0 = None
+        res = solve(p, xs0, us0, settings=settings, use_gaps=use_gaps, bounds=bounds)
+        if not keep_log:
+            res = res._replace(log=jax.tree.map(lambda a: jnp.zeros((0,), a.dtype), res.log))
+        return res
+
+    return jax.jit(jax.vmap(one))
+
+
+def sharded_solve(
+    problem: ShootingProblem,
+    x0s,
+    settings: SolverSettings = SolverSettings(),
+    use_gaps: bool = True,
+    bounds: Optional[Bounds] = None,
+    mesh=None,
+    axis: str = BATCH_AXIS,
+) -> SolveResult:
+    """Solve a scenario batch sharded over a device mesh.
+
+    The batch axis is partitioned across devices by GSPMD — each chip runs
+    its shard of the vmapped solver; XLA inserts no per-iteration
+    collectives (the scenarios are independent), so scaling efficiency is
+    bounded only by batch balance.
+    """
+    mesh = mesh or make_batch_mesh()
+    sharding = batch_sharding(mesh, axis)
+    x0s = jax.device_put(jnp.asarray(x0s), sharding)
+    fn = make_batched_solver(problem, settings, use_gaps, bounds)
+    return fn(x0s)
+
+
+def convergence_summary(result: SolveResult):
+    """Cross-scenario metrics pytree (host-side convenience): converged
+    fraction, mean iterations, cost stats."""
+    return dict(
+        n=result.cost.shape[0],
+        converged_frac=float(jnp.mean(result.converged.astype(jnp.float32))),
+        diverged_frac=float(jnp.mean(result.diverged.astype(jnp.float32))),
+        mean_iterations=float(jnp.mean(result.iterations.astype(jnp.float32))),
+        mean_cost=float(jnp.mean(result.cost)),
+        max_cost=float(jnp.max(result.cost)),
+    )
