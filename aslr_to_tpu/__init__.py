@@ -29,6 +29,12 @@ from .models.costs import (
     ResidualModelFramePlacementASR,
     ResidualModelState,
 )
+from .models.condensed import (
+    ASRActuationCondensed,
+    QbActuationModel,
+    SoftDynamicsResidualModel,
+    VSADynamicsResidualModel,
+)
 from .models import robots
 from .solvers.problem import ShootingProblem
 from .solvers.ddp import (

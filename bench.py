@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Throughput benchmark: batched BoxDDP solves/s per chip.
+
+North-star metric (BASELINE.md): batched DDP solves of the 2-DoF VSA
+reach workload at T=100 knots, target >= 1000 solves/s per chip. Each
+"solve" is a cold-started BoxDDP run (maxiter capped) over a batch of
+perturbed initial states, vmapped into one XLA program on the chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+MAXITER = int(os.environ.get("BENCH_MAXITER", "20"))
+T = int(os.environ.get("BENCH_T", "100"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+BASELINE_SOLVES_PER_S = 1000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from aslr_to_tpu.parallel.batch import make_batched_solver
+    from aslr_to_tpu.solvers.ddp import SolverSettings
+    from aslr_to_tpu.workloads.presets import two_dof_vsa_boxddp
+
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    w = two_dof_vsa_boxddp(T=T, dtype=dtype)
+    settings = SolverSettings(maxiter=MAXITER, th_stop=1e-5)
+    fn = make_batched_solver(w.problem, settings, use_gaps=False, bounds=w.bounds)
+
+    nx = w.problem.state.nx
+    x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (BATCH, nx), dtype=dtype)
+
+    # compile + warm up
+    out = fn(x0s)
+    jax.block_until_ready(out.cost)
+
+    t0 = time.perf_counter()
+    for i in range(REPS):
+        x0s_i = x0s + jnp.asarray(1e-4 * (i + 1), dtype=dtype)
+        out = fn(x0s_i)
+        jax.block_until_ready(out.cost)
+    elapsed = time.perf_counter() - t0
+
+    solves_per_s = BATCH * REPS / elapsed
+    print(json.dumps({
+        "metric": f"batched BoxDDP solves/s/chip (2-DoF VSA, T={T}, maxiter={MAXITER}, batch={BATCH})",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # never crash the driver: report zero with the error
+        print(json.dumps({
+            "metric": "batched BoxDDP solves/s/chip (2-DoF VSA, T=100)",
+            "value": 0.0,
+            "unit": "solves/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }))
+        sys.exit(0)
