@@ -70,7 +70,8 @@ class SolverSettings:
     reg_max: float = 1e9
     reg_factor: float = 10.0
     n_alphas: int = 10
-    boxqp_iters: int = 10
+    boxqp_iters: int = 6
+    boxqp_alphas: int = 5
 
 
 class SolveLog(NamedTuple):
@@ -173,7 +174,8 @@ def _backward(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, setti
         else:
             low = bounds.lb - u_t
             up = bounds.ub - u_t
-            qp = boxqp(Quu, Qu, low, up, jnp.zeros_like(u_t), maxiter=settings.boxqp_iters)
+            qp = boxqp(Quu, Qu, low, up, jnp.zeros_like(u_t),
+                       maxiter=settings.boxqp_iters, n_alphas=settings.boxqp_alphas)
             k = -qp.x
             K = masked_free_solve(Quu, qp.free, Qxu.T)
             ok = jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
@@ -309,40 +311,58 @@ def solve(
         else:
             dg, dq = bw.dg, bw.dq
 
-        # -- width-parallel line search -----------------------------------
-        def trial(alpha):
-            return _rollout(problem, st.xs, st.us, bw.k, bw.K, fs, alpha, ~feasible, use_gaps, bounds)
+        # -- early-exit backtracking line search --------------------------
+        # One rollout per trial, batch-wide; under an outer vmap the
+        # while_loop keeps trying until every scenario has accepted (or the
+        # alphas are exhausted), freezing already-accepted scenarios — the
+        # typical iteration costs 1-2 rollouts instead of always 10, with
+        # Crocoddyl's exact first-acceptable-alpha semantics.
+        def try_alpha(alpha):
+            xs_t, us_t, cost_t = _rollout(
+                problem, st.xs, st.us, bw.k, bw.K, fs, alpha, ~feasible, use_gaps, bounds)
+            if use_gaps:
+                # dv correction (Crocoddyl FDDP::expectedImprovement):
+                # dv = -sum_t fs_t . (Vxx_t dx_t), dx_t = xs_t (-) xs_try_t.
+                dx = jax.vmap(state.diff)(xs_t, st.xs)
+                dv = -jnp.einsum("ti,tij,tj->", fs, bw.Vxx, dx) * infeasible_f
+                d1 = dg + dv
+                d2 = dq - 2.0 * dv
+            else:
+                d1, d2 = dg, dq
+            dV = cost - cost_t
+            dVexp = alpha * (d1 + 0.5 * alpha * d2)
+            finite = jnp.isfinite(cost_t)
+            if use_gaps:
+                accept_pos = (dVexp >= 0.0) & ((d1 < s.th_grad) | (dV > s.th_acceptstep * dVexp))
+                accept_neg = (dVexp < 0.0) & (dV > s.th_acceptnegstep * dVexp)
+                accept = finite & (accept_pos | accept_neg)
+            else:
+                accept = finite & (dVexp >= 0.0) & (
+                    (d1 < s.th_grad) | (~feasible) | (dV > s.th_acceptstep * dVexp))
+            return accept, xs_t, us_t, cost_t
 
-        xs_a, us_a, cost_a = jax.vmap(trial)(alphas)
+        def ls_cond(c):
+            i, accepted, _, _, _, _ = c
+            return (~accepted) & (i < s.n_alphas)
 
-        if use_gaps:
-            # dv correction per alpha (Crocoddyl FDDP::expectedImprovement):
-            # dv = -sum_t fs_t . (Vxx_t dx_t), dx_t = xs_t (-) xs_try_t.
-            dx_a = jax.vmap(lambda xs_try: jax.vmap(state.diff)(xs_try, st.xs))(xs_a)
-            dv_a = -jnp.einsum("ti,tij,atj->a", fs, bw.Vxx, dx_a) * infeasible_f
-            d1_a = dg + dv_a
-            d2_a = dq - 2.0 * dv_a
-        else:
-            d1_a = jnp.full_like(alphas, dg)
-            d2_a = jnp.full_like(alphas, dq)
+        def ls_body(c):
+            i, accepted, xs_b, us_b, cost_b, alpha_b = c
+            alpha = alphas[i]
+            accept, xs_t, us_t, cost_t = try_alpha(alpha)
+            take = accept & (~accepted)
+            return (
+                i + 1,
+                accepted | accept,
+                jnp.where(take, xs_t, xs_b),
+                jnp.where(take, us_t, us_b),
+                jnp.where(take, cost_t, cost_b),
+                jnp.where(take, alpha, alpha_b),
+            )
 
-        dV_a = cost - cost_a
-        dVexp_a = alphas * (d1_a + 0.5 * alphas * d2_a)
-        finite_a = jnp.isfinite(cost_a)
-        if use_gaps:
-            accept_pos = (dVexp_a >= 0.0) & ((d1_a < s.th_grad) | (dV_a > s.th_acceptstep * dVexp_a))
-            accept_neg = (dVexp_a < 0.0) & (dV_a > s.th_acceptnegstep * dVexp_a)
-            accept_a = finite_a & (accept_pos | accept_neg)
-        else:
-            accept_a = finite_a & (dVexp_a >= 0.0) & (
-                (d1_a < s.th_grad) | (~feasible) | (dV_a > s.th_acceptstep * dVexp_a))
-
-        any_accept = jnp.any(accept_a)
-        idx = jnp.argmax(accept_a)              # first acceptable (largest alpha)
-        alpha_sel = alphas[idx]
-        xs_new = jnp.where(any_accept, xs_a[idx], st.xs)
-        us_new = jnp.where(any_accept, us_a[idx], st.us)
-        cost_new = jnp.where(any_accept, cost_a[idx], cost)
+        ls0 = (jnp.asarray(0, jnp.int32), jnp.asarray(False), st.xs, st.us, cost,
+               jnp.asarray(0.0, dtype=dtype))
+        _, any_accept, xs_new, us_new, cost_new, alpha_sel = jax.lax.while_loop(
+            ls_cond, ls_body, ls0)
 
         # -- regularization schedule --------------------------------------
         eff_step = jnp.where(any_accept, alpha_sel, alphas[-1])
