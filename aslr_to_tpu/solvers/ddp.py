@@ -35,6 +35,7 @@ solver is ONE jitted XLA program:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -72,6 +73,10 @@ class SolverSettings:
     n_alphas: int = 10
     boxqp_iters: int = 6
     boxqp_alphas: int = 5
+    # Route the Box backward pass through the fused Pallas Riccati kernel
+    # (aslr_to_tpu/pallas/riccati.py) when the solve is vmapped. Identical
+    # math; one kernel launch instead of ~T x 500 HLO dispatches.
+    use_pallas_backward: bool = False
 
 
 class SolveLog(NamedTuple):
@@ -137,8 +142,77 @@ def _linearize(problem: ShootingProblem, xs, us):
     return cost, run_diff, term_diff, fs
 
 
+@functools.lru_cache(maxsize=None)
+def _get_box_backward_core(qp_iters: int, interpret: bool):
+    """custom_vmap wrapper: unbatched -> XLA scan; vmapped -> Pallas kernel."""
+    from ..pallas.riccati import riccati_box_backward
+
+    @jax.custom_batching.custom_vmap
+    def core(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, us, lb, ub, reg):
+        return _box_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx,
+                                  us, lb, ub, reg, qp_iters)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
+
+        args = tuple(bc(a, b) for a, b in zip(args, in_batched))
+        out = riccati_box_backward(*args, qp_iters=qp_iters, interpret=interpret)
+        return tuple(out), tuple(True for _ in out)
+
+    return core
+
+
+def _box_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, us, lb, ub, reg, qp_iters):
+    """Single-scenario Box backward (no gaps) — the Pallas kernel's XLA
+    reference implementation and unbatched fallback."""
+    ndx = Fx.shape[-1]
+    nu = Fu.shape[-1]
+    dtype = Fx.dtype
+    eye_u = jnp.eye(nu, dtype=dtype)
+    eye_x = jnp.eye(ndx, dtype=dtype)
+
+    def body(carry, inp):
+        Vx_n, Vxx_n = carry
+        fx, fu, lx, lu, lxx, lxu, luu, u_t = inp
+        Qx = lx + fx.T @ Vx_n
+        Qu = lu + fu.T @ Vx_n
+        FxTVxx = fx.T @ Vxx_n
+        Qxx = lxx + FxTVxx @ fx
+        Qxu = lxu + FxTVxx @ fu
+        Quu = luu + fu.T @ Vxx_n @ fu + reg * eye_u
+        qp = boxqp(Quu, Qu, lb - u_t, ub - u_t, jnp.zeros_like(u_t), maxiter=qp_iters, n_alphas=5)
+        k = -qp.x
+        K = masked_free_solve(Quu, qp.free, Qxu.T)
+        Quuk = Quu @ k
+        Vx = Qx + K.T @ Quuk - 2.0 * (K.T @ Qu)
+        Vxx = Qxx - Qxu @ K
+        Vxx = 0.5 * (Vxx + Vxx.T) + reg * eye_x
+        ok = jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
+        return (Vx, Vxx), (k, K, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu), ok)
+
+    (_, _), outs = jax.lax.scan(
+        body, (tLx, tLxx + reg * eye_x), (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, us), reverse=True)
+    k, K, dg_t, dq_t, stop_t, ok_t = outs
+    return (k, K, jnp.sum(dg_t), jnp.sum(dq_t), jnp.sum(stop_t), jnp.all(ok_t))
+
+
 def _backward(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, settings):
     """Riccati sweep, Crocoddyl-faithful (see module docstring)."""
+    if (bounds is not None) and (not use_gaps) and settings.use_pallas_backward:
+        core = _get_box_backward_core(settings.boxqp_iters, jax.default_backend() != "tpu")
+        k, K, dg, dq, stop, ok = core(
+            run_diff.Fx, run_diff.Fu, run_diff.Lx, run_diff.Lu,
+            run_diff.Lxx, run_diff.Lxu, run_diff.Luu,
+            term_diff.Lx, term_diff.Lxx, us, bounds.lb, bounds.ub,
+            jnp.asarray(reg, dtype=us.dtype))
+        T = us.shape[0]
+        ndx = problem.state.ndx
+        zeros_Vx = jnp.zeros((T + 1, ndx), dtype=us.dtype)
+        zeros_Vxx = jnp.zeros((T + 1, ndx, ndx), dtype=us.dtype)
+        return _Backward(k=k, K=K, Vx=zeros_Vx, Vxx=zeros_Vxx,
+                         dg=dg, dq=dq, stop=stop, ok=ok)
     ndx = problem.state.ndx
     nu = problem.nu
     dtype = us.dtype

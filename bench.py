@@ -30,7 +30,8 @@ def main():
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     w = two_dof_vsa_boxddp(T=T, dtype=dtype)
-    settings = SolverSettings(maxiter=MAXITER, th_stop=1e-5)
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    settings = SolverSettings(maxiter=MAXITER, th_stop=1e-5, use_pallas_backward=use_pallas)
     fn = make_batched_solver(w.problem, settings, use_gaps=False, bounds=w.bounds)
 
     nx = w.problem.state.nx

@@ -1,0 +1,60 @@
+"""Fused Pallas backward kernel vs the XLA scan reference (interpret mode
+on the CPU mesh; the TPU path compiles the same kernel)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aslr_to_tpu.parallel.batch import make_batched_solver
+from aslr_to_tpu.pallas.riccati import riccati_box_backward
+from aslr_to_tpu.solvers.ddp import SolverSettings, _backward, _linearize
+from aslr_to_tpu.workloads.presets import two_dof_vsa_boxddp
+
+
+def _inputs(B=4, T=12):
+    w = two_dof_vsa_boxddp(T=T)
+    p = w.problem
+    x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (B, 8))
+    s = SolverSettings()
+
+    def one(x0):
+        prob = dataclasses.replace(p, x0=x0)
+        xs = jnp.broadcast_to(x0, (p.T + 1, 8))
+        us = jnp.zeros((p.T, 4)) + jnp.array([0.0, 0.0, 0.5, 0.5])
+        cost, rd, td, fs = _linearize(prob, xs, us)
+        bw = _backward(prob, rd, td, fs, us, 1e-6, False, w.bounds, s)
+        return rd, td, us, bw
+
+    rds, tds, uss, bws = jax.vmap(one)(x0s)
+    return w, rds, tds, uss, bws, B
+
+
+def test_kernel_matches_scan_backward():
+    w, rds, tds, uss, bws, B = _inputs()
+    out = riccati_box_backward(
+        rds.Fx, rds.Fu, rds.Lx, rds.Lu, rds.Lxx, rds.Lxu, rds.Luu,
+        tds.Lx, tds.Lxx, uss,
+        jnp.broadcast_to(w.bounds.lb, (B, 4)), jnp.broadcast_to(w.bounds.ub, (B, 4)),
+        jnp.full((B,), 1e-6), qp_iters=6, nb=128, interpret=True)
+    assert np.allclose(out.k, bws.k, atol=1e-8)
+    assert np.allclose(out.K, bws.K, atol=1e-8)
+    assert np.allclose(out.dg, bws.dg, rtol=1e-10)
+    assert np.allclose(out.dq, bws.dq, rtol=1e-10)
+    assert np.allclose(out.stop, bws.stop, rtol=1e-10)
+    assert np.all(np.asarray(out.ok) == np.asarray(bws.ok))
+
+
+def test_full_solve_identical_with_pallas_backward():
+    """End-to-end solves with/without the kernel agree to fp64 precision."""
+    w = two_dof_vsa_boxddp(T=15)
+    B = 4
+    x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(1), (B, 8))
+    ref = make_batched_solver(
+        w.problem, SolverSettings(maxiter=6, th_stop=1e-7), use_gaps=False, bounds=w.bounds)(x0s)
+    pal = make_batched_solver(
+        w.problem, SolverSettings(maxiter=6, th_stop=1e-7, use_pallas_backward=True),
+        use_gaps=False, bounds=w.bounds)(x0s)
+    assert np.allclose(ref.cost, pal.cost, rtol=1e-8)
+    assert np.allclose(ref.us, pal.us, atol=1e-8)
+    assert np.all(np.asarray(ref.iterations) == np.asarray(pal.iterations))
