@@ -1,0 +1,629 @@
+"""Fused Pallas kernels for the 2-DoF VSA flagship workload.
+
+The generic solver is layout-bound in XLA: every op on ``[B, 8, 8]``-style
+tensors uses a fraction of the vector lanes, so solve time scales linearly
+with batch (measured: ~52 solves/s flat from B=256 to B=1024). These
+kernels run the two remaining hot phases — the nonlinear rollout and the
+knot linearization — entirely in lane layout (batch on the 128-wide vector
+lanes) with the dynamics from :mod:`..ops.lanes` traced inline, including
+the RNEA partial derivatives via ``jax.jvp`` seeds *inside* the kernel.
+
+Specialization contract (checked by the builder): VSA dynamics
+(``DifferentialVSADynamics``) on a concrete 2-DoF revolute chain, Euler
+integrator, and the reference cost structure — frame-placement goal +
+weighted state/control regularizers + optional linear stiffness cost
+(covers both ``two_dof_vsa_boxddp`` and ``two_dof_vsa_modified``). The
+generic XLA path remains the reference implementation and fallback.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import lanes
+from ..ops.lanes import RobotConsts
+
+NDX = 8
+NU = 4
+NL = 2
+
+
+class VSASpec(NamedTuple):
+    """Concrete (numpy) snapshot of the workload the kernels specialize on."""
+
+    rc: RobotConsts
+    dt: float
+    binv: np.ndarray          # [2,2] inverse motor inertia
+    frame_id: int
+    target_rot_inv: np.ndarray  # [3,3] target placement inverse rotation
+    target_pos: np.ndarray      # [3] target translation
+    w_goal: float
+    w_goal_term: float
+    xw: np.ndarray            # [8] combined state-reg weights (weight * activation)
+    uw: np.ndarray            # [4] combined control-reg weights
+    stiff_w: float            # combined linear stiffness weight (weight * lamda)
+    stiff_ref: np.ndarray     # [2] stiffness reference
+    lb: np.ndarray            # [4]
+    ub: np.ndarray            # [4]
+
+
+def extract_vsa_spec(problem, bounds) -> VSASpec:
+    """Introspect a concrete ShootingProblem built from the VSA presets."""
+    from ..models.costs import (
+        ActivationModelQuad,
+        ActivationModelWeightedQuad,
+        CostModelResidual,
+        CostModelStiffness,
+        ResidualModelControl,
+        ResidualModelFramePlacementASR,
+        ResidualModelState,
+    )
+    from ..models.dynamics import DifferentialVSADynamics
+
+    running = problem.running
+    diff = running.differential
+    terminal_diff = problem.terminal.differential
+    if not isinstance(diff, DifferentialVSADynamics):
+        raise TypeError("fast path requires DifferentialVSADynamics")
+    robot = diff.state.robot
+    if robot.nv != NL:
+        raise TypeError("fast path requires a 2-DoF chain")
+
+    def act_weights(cost, nr):
+        if isinstance(cost.activation, ActivationModelQuad):
+            return np.ones(nr)
+        if isinstance(cost.activation, ActivationModelWeightedQuad):
+            return np.asarray(cost.activation.weights, dtype=np.float64)
+        raise TypeError(f"unsupported activation {type(cost.activation)}")
+
+    w_goal = w_goal_term = 0.0
+    xw = np.zeros(NDX)
+    uw = np.zeros(NU)
+    stiff_w = 0.0
+    stiff_ref = np.zeros(NL)
+    frame_id = None
+    target_rot = np.eye(3)
+    target_pos = np.zeros(3)
+
+    for it in diff.costs.items:
+        c = it.cost
+        w = float(np.asarray(it.weight))
+        if isinstance(c, CostModelStiffness):
+            stiff_w += w * float(np.asarray(c.lamda))
+            if c.Kref is not None:
+                stiff_ref = np.asarray(c.Kref, dtype=np.float64)
+            continue
+        if not isinstance(c, CostModelResidual):
+            raise TypeError(f"unsupported running cost {type(c)}")
+        r = c.residual
+        if isinstance(r, ResidualModelFramePlacementASR):
+            w_goal += w
+            frame_id = r.frame_id
+            target_rot = np.asarray(r.placement.rot, dtype=np.float64)
+            target_pos = np.asarray(r.placement.trans, dtype=np.float64)
+            if not np.allclose(act_weights(c, 6), 1.0):
+                raise TypeError("goal activation must be plain quad")
+        elif isinstance(r, ResidualModelState):
+            if not np.allclose(np.asarray(r.xref), 0.0):
+                raise TypeError("fast path assumes zero state reference")
+            xw += w * act_weights(c, NDX)
+        elif isinstance(r, ResidualModelControl):
+            uw += w * act_weights(c, NU)
+        else:
+            raise TypeError(f"unsupported residual {type(r)}")
+
+    for it in terminal_diff.costs.items:
+        c = it.cost
+        if isinstance(c, CostModelResidual) and isinstance(c.residual, ResidualModelFramePlacementASR):
+            w_goal_term += float(np.asarray(it.weight))
+        else:
+            raise TypeError("fast path assumes goal-only terminal cost")
+
+    return VSASpec(
+        rc=RobotConsts(robot),
+        dt=float(running.dt),
+        binv=np.linalg.inv(np.asarray(diff.B, dtype=np.float64)),
+        frame_id=frame_id,
+        target_rot_inv=target_rot.T,
+        target_pos=target_pos,
+        w_goal=w_goal,
+        w_goal_term=w_goal_term,
+        xw=xw,
+        uw=uw,
+        stiff_w=stiff_w,
+        stiff_ref=stiff_ref,
+        lb=np.asarray(bounds.lb, dtype=np.float64),
+        ub=np.asarray(bounds.ub, dtype=np.float64),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared lane-level pieces
+# ---------------------------------------------------------------------------
+
+def _dynamics_lanes(spec: VSASpec, x, u):
+    """VSA accelerations: x list of 8 lanes, u list of 4 lanes -> a list of 4."""
+    q_l = [x[0], x[1]]
+    q_m = [x[2], x[3]]
+    v_l = [x[4], x[5]]
+    tau_m = [u[0], u[1]]
+    kd = [u[2], u[3]]
+    tau_c = [kd[i] * (q_l[i] - q_m[i]) for i in range(NL)]
+
+    M, nle = lanes.mass_nle_lanes(spec.rc, q_l, v_l)
+    rhs = [-nle[i] - tau_c[i] for i in range(NL)]
+    a_l = list(lanes.solve2(M, rhs))
+    binv = spec.binv
+    a_m = [
+        binv[i][0] * (tau_m[0] + tau_c[0]) + binv[i][1] * (tau_m[1] + tau_c[1])
+        for i in range(NL)
+    ]
+    return a_l + a_m
+
+
+def _goal_cost_lanes(spec: VSASpec, q_l):
+    """0.5 * || log6(target^-1 oMf) ||^2 on lanes; also returns r (6 lanes)."""
+    rots, trans = lanes.fk_lanes(spec.rc, q_l)
+    R, p = lanes.frame_placement_lanes(spec.rc, rots, trans, spec.frame_id)
+    Ri = lanes.m_const(spec.target_rot_inv, q_l[0])
+    tp = lanes.v_const(spec.target_pos, q_l[0])
+    rM = lanes.m_mul(Ri, R)
+    rp = lanes.m_vec(Ri, lanes.v_sub(p, tp))
+    r6 = lanes.log6_lanes(rM, rp)
+    c = 0.5 * sum(ri * ri for ri in r6)
+    return c, r6
+
+
+def _running_cost_lanes(spec: VSASpec, x, u):
+    c_goal, _ = _goal_cost_lanes(spec, [x[0], x[1]])
+    c = spec.w_goal * c_goal
+    for i in range(NDX):
+        if spec.xw[i] != 0.0:
+            c = c + 0.5 * float(spec.xw[i]) * x[i] * x[i]
+    for i in range(NU):
+        if spec.uw[i] != 0.0:
+            c = c + 0.5 * float(spec.uw[i]) * u[i] * u[i]
+    if spec.stiff_w != 0.0:
+        for i in range(NL):
+            c = c + float(spec.stiff_w) * (u[NL + i] - float(spec.stiff_ref[i]))
+    return c
+
+
+# ---------------------------------------------------------------------------
+# rollout kernel
+# ---------------------------------------------------------------------------
+
+def _rollout_kernel(spec: VSASpec, T: int,
+                    xs_ref, us_ref, k_ref, K_ref, x0_ref, alpha_ref,
+                    xs_out, us_out, cost_ref, x_s):
+    dtype = xs_ref.dtype
+    alpha = alpha_ref[0]
+    dt = spec.dt
+
+    x_s[:] = x0_ref[:]
+    xs_out[0] = x0_ref[:]
+
+    def body(t, cost_acc):
+        x = [x_s[i] for i in range(NDX)]
+        xr = xs_ref[t]
+        dx = [x[i] - xr[i] for i in range(NDX)]
+        u = []
+        for j in range(NU):
+            fb = k_ref[t][j] * alpha
+            Kt = K_ref[t]
+            for i in range(NDX):
+                fb = fb + Kt[j, i] * dx[i]
+            uj = us_ref[t][j] - fb
+            uj = jnp.clip(uj, float(spec.lb[j]), float(spec.ub[j]))
+            u.append(uj)
+
+        a = _dynamics_lanes(spec, x, u)
+        cost_acc = cost_acc + _running_cost_lanes(spec, x, u)
+
+        x_new = []
+        for i in range(NDX // 2):
+            x_new.append(x[i] + x[NDX // 2 + i] * dt + a[i] * dt * dt)
+        for i in range(NDX // 2):
+            x_new.append(x[NDX // 2 + i] + a[i] * dt)
+
+        x_stack = jnp.stack(x_new)
+        x_s[:] = x_stack
+        xs_out[t + 1] = x_stack
+        us_out[t] = jnp.stack(u)
+        return cost_acc
+
+    cost = jax.lax.fori_loop(0, T, body, jnp.zeros_like(alpha))
+    xT = [x_s[i] for i in range(NDX)]
+    c_goal_T, _ = _goal_cost_lanes(spec, [xT[0], xT[1]])
+    cost = cost + spec.w_goal_term * c_goal_T
+    cost_ref[0] = cost
+    for r in range(1, 8):
+        cost_ref[r] = jnp.zeros_like(cost)
+
+
+def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False):
+    """Returns rollout(xs, us, k, K, x0, alpha) -> (xs_try, us_try, cost),
+    batch-major in/out, dispatched to the lane kernel."""
+
+    def rollout_batched(xs, us, k, K, x0, alpha):
+        B = xs.shape[0]
+        dtype = xs.dtype
+        Bp = ((B + nb - 1) // nb) * nb
+
+        def to_lanes(x):
+            pad = Bp - B
+            if pad:
+                x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], dtype)], axis=0)
+            return jnp.transpose(x, tuple(range(1, x.ndim)) + (0,))
+
+        xs_l = to_lanes(xs[:, :T])   # reference states for feedback, knots 0..T-1
+        us_l, k_l, K_l, x0_l = map(to_lanes, (us, k, K, x0))
+        alpha_l = jnp.concatenate([alpha, jnp.zeros(Bp - B, dtype)])[None, :]
+
+        grid = (Bp // nb,)
+
+        def spec_nd(*dims):
+            block = dims + (nb,)
+            n = len(block)
+            return pl.BlockSpec(block, lambda b: (0,) * (n - 1) + (b,), memory_space=pltpu.VMEM)
+
+        kern = functools.partial(_rollout_kernel, spec, T)
+        xs_o, us_o, cost_o = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[spec_nd(T, NDX), spec_nd(T, NU), spec_nd(T, NU), spec_nd(T, NU, NDX),
+                      spec_nd(NDX), spec_nd(1)],
+            out_specs=[spec_nd(T + 1, NDX), spec_nd(T, NU), spec_nd(8)],
+            out_shape=[
+                jax.ShapeDtypeStruct((T + 1, NDX, Bp), dtype),
+                jax.ShapeDtypeStruct((T, NU, Bp), dtype),
+                jax.ShapeDtypeStruct((8, Bp), dtype),
+            ],
+            scratch_shapes=[pltpu.VMEM((NDX, nb), dtype)],
+            interpret=interpret,
+        )(xs_l, us_l, k_l, K_l, x0_l, alpha_l)
+
+        xs_try = jnp.transpose(xs_o, (2, 0, 1))[:B]
+        us_try = jnp.transpose(us_o, (2, 0, 1))[:B]
+        cost = cost_o[0, :B]
+        return xs_try, us_try, cost
+
+    return rollout_batched
+
+
+# ---------------------------------------------------------------------------
+# linearize kernel
+# ---------------------------------------------------------------------------
+
+def _linearize_kernel(spec: VSASpec, terminal: bool,
+                      x_ref, u_ref,
+                      Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
+                      xnext_ref, cost_ref):
+    """One knot (grid dims: t, batch-tile): analytic VSA linearization.
+
+    Derivative strategy: the acceleration jacobians come from ``jax.jvp``
+    seeds through the lane dynamics (exact forward-mode, traced in-kernel);
+    cost derivatives are assembled Gauss-Newton style like the XLA models.
+    """
+    dtype = x_ref.dtype
+    x = [x_ref[i] for i in range(NDX)]
+    u = [u_ref[i] for i in range(NU)]
+    like = x[0]
+    dt = spec.dt
+
+    # -- dynamics + jacobians via jvp seeds -------------------------------
+    def dyn(inp):
+        xx, uu = inp[:NDX], inp[NDX:]
+        return tuple(_dynamics_lanes(spec, list(xx), list(uu)))
+
+    inp = tuple(x + u)
+    a = dyn(inp)
+    cols = []
+    if not terminal:
+        one = jnp.ones_like(like)
+        zero = jnp.zeros_like(like)
+        for j in range(NDX + NU):
+            seed = tuple(one if i == j else zero for i in range(NDX + NU))
+            _, col = jax.jvp(dyn, (inp,), (seed,))
+            cols.append(col)          # da/d inp_j, tuple of 4 lanes
+
+    # -- costs ------------------------------------------------------------
+    q_l = [x[0], x[1]]
+    c_goal, r6 = _goal_cost_lanes(spec, q_l)
+    w_goal = spec.w_goal_term if terminal else spec.w_goal
+
+    cost = w_goal * c_goal
+    if not terminal:
+        for i in range(NDX):
+            if spec.xw[i] != 0.0:
+                cost = cost + 0.5 * float(spec.xw[i]) * x[i] * x[i]
+        for i in range(NU):
+            if spec.uw[i] != 0.0:
+                cost = cost + 0.5 * float(spec.uw[i]) * u[i] * u[i]
+        if spec.stiff_w != 0.0:
+            for i in range(NL):
+                cost = cost + float(spec.stiff_w) * (u[NL + i] - float(spec.stiff_ref[i]))
+    cost_ref[0] = cost
+    for r in range(1, 8):
+        cost_ref[r] = jnp.zeros_like(cost)
+
+    # goal residual jacobian wrt q_l via jvp of the residual map (2 seeds)
+    def res_fn(qq):
+        _, r = _goal_cost_lanes(spec, list(qq))
+        return r
+
+    one = jnp.ones_like(like)
+    zero = jnp.zeros_like(like)
+    _, Jq0 = jax.jvp(res_fn, ((q_l[0], q_l[1]),), ((one, zero),))
+    _, Jq1 = jax.jvp(res_fn, ((q_l[0], q_l[1]),), ((zero, one),))
+    J = (Jq0, Jq1)                    # J[c][k]: d r_k / d q_c
+
+    # Lx rows: goal contributes only to q_l entries (reference semantics)
+    Lx_rows = []
+    for i in range(NDX):
+        v = jnp.zeros_like(like)
+        if i < NL:
+            for kk in range(6):
+                v = v + w_goal * J[i][kk] * r6[kk]
+        if (not terminal) and spec.xw[i] != 0.0:
+            v = v + float(spec.xw[i]) * x[i]
+        Lx_rows.append(v)
+    Lx_ref[:] = jnp.stack(Lx_rows)
+
+    Lu_rows = []
+    for j in range(NU):
+        v = jnp.zeros_like(like)
+        if not terminal:
+            if spec.uw[j] != 0.0:
+                v = v + float(spec.uw[j]) * u[j]
+            if spec.stiff_w != 0.0 and j >= NL:
+                v = v + float(spec.stiff_w)
+        Lu_rows.append(v)
+    Lu_ref[:] = jnp.stack(Lu_rows)
+
+    # Lxx: Gauss-Newton goal block on (q_l x q_l) + diagonal state reg
+    Lxx_rows = []
+    for i in range(NDX):
+        row = []
+        for j2 in range(NDX):
+            v = jnp.zeros_like(like)
+            if i < NL and j2 < NL:
+                for kk in range(6):
+                    v = v + w_goal * J[i][kk] * J[j2][kk]
+            if i == j2 and (not terminal) and spec.xw[i] != 0.0:
+                v = v + float(spec.xw[i])
+            row.append(v)
+        Lxx_rows.append(jnp.stack(row))
+    Lxx_ref[:] = jnp.stack(Lxx_rows)
+
+    Lxu_ref[:] = jnp.zeros((NDX, NU, like.shape[0]), dtype=dtype)
+    Luu_rows = []
+    for i in range(NU):
+        row = []
+        for j2 in range(NU):
+            v = jnp.zeros_like(like)
+            if i == j2 and (not terminal) and spec.uw[i] != 0.0:
+                v = v + float(spec.uw[i])
+            row.append(v)
+        Luu_rows.append(jnp.stack(row))
+    Luu_ref[:] = jnp.stack(Luu_rows)
+
+    # -- integrator chain rule (IntegratedActionEuler.calc_with_diff) -----
+    if terminal:
+        eyeN = jnp.eye(NDX, dtype=dtype)[:, :, None]
+        Fx_ref[:] = jnp.broadcast_to(eyeN, (NDX, NDX, like.shape[0])).astype(dtype)
+        Fu_ref[:] = jnp.zeros((NDX, NU, like.shape[0]), dtype=dtype)
+        xnext_ref[:] = jnp.stack(x)
+        return
+
+    nv = NDX // 2
+    # da/dx rows (4 x 8), da/du (4 x 4) from cols (inp-major)
+    Fx_rows = []
+    for i in range(NDX):
+        row = []
+        for j2 in range(NDX):
+            # d xnext_i / d x_j
+            if i < nv:
+                # position rows: delta + dt * (v_shift) + dt^2 * da
+                v = cols[j2][i] * (dt * dt)
+                if i == j2:
+                    v = v + 1.0
+                if j2 == i + nv:
+                    v = v + dt
+            else:
+                v = cols[j2][i - nv] * dt
+                if i == j2:
+                    v = v + 1.0
+            row.append(jnp.broadcast_to(v, like.shape))
+        Fx_rows.append(jnp.stack(row))
+    Fx_ref[:] = jnp.stack(Fx_rows)
+
+    Fu_rows = []
+    for i in range(NDX):
+        row = []
+        for j2 in range(NU):
+            col = cols[NDX + j2]
+            if i < nv:
+                v = col[i] * (dt * dt)
+            else:
+                v = col[i - nv] * dt
+            row.append(jnp.broadcast_to(v, like.shape))
+        Fu_rows.append(jnp.stack(row))
+    Fu_ref[:] = jnp.stack(Fu_rows)
+
+    xnext = []
+    for i in range(nv):
+        xnext.append(x[i] + x[nv + i] * dt + a[i] * dt * dt)
+    for i in range(nv):
+        xnext.append(x[nv + i] + a[i] * dt)
+    xnext_ref[:] = jnp.stack(xnext)
+
+
+def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False):
+    """Returns linearize(xs, us) -> (cost, run_diff tuple, term tuple, xnext)."""
+
+    def linearize_batched(xs, us):
+        # xs [B, T+1, 8], us [B, T, 4]
+        B = xs.shape[0]
+        dtype = xs.dtype
+        Bp = ((B + nb - 1) // nb) * nb
+
+        def to_lanes(x):
+            pad = Bp - B
+            if pad:
+                x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], dtype)], axis=0)
+            return jnp.transpose(x, tuple(range(1, x.ndim)) + (0,))
+
+        xs_l = to_lanes(xs)          # [T+1, 8, Bp]
+        us_l = to_lanes(us)          # [T, 4, Bp]
+
+        grid = (T, Bp // nb)
+
+        def in_spec(*dims):
+            block = (1,) + dims + (nb,)
+            n = len(block)
+            return pl.BlockSpec(block, lambda t, b: (t,) + (0,) * (n - 2) + (b,), memory_space=pltpu.VMEM)
+
+        def out_spec(*dims):
+            block = (1,) + dims + (nb,)
+            n = len(block)
+            return pl.BlockSpec(block, lambda t, b: (t,) + (0,) * (n - 2) + (b,), memory_space=pltpu.VMEM)
+
+        def run_kernel(spec_, terminal):
+            def kern(x_ref, u_ref, Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref, xnext_ref, cost_ref):
+                _linearize_kernel(
+                    spec_, terminal,
+                    x_ref.at[0], u_ref.at[0],
+                    Fx_ref.at[0], Fu_ref.at[0], Lx_ref.at[0], Lu_ref.at[0],
+                    Lxx_ref.at[0], Lxu_ref.at[0], Luu_ref.at[0],
+                    xnext_ref.at[0], cost_ref.at[0])
+            return kern
+
+        outs = pl.pallas_call(
+            run_kernel(spec, False),
+            grid=grid,
+            in_specs=[in_spec(NDX), in_spec(NU)],
+            out_specs=[out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NDX), out_spec(NU),
+                       out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NU, NU),
+                       out_spec(NDX), out_spec(8)],
+            out_shape=[
+                jax.ShapeDtypeStruct((T, NDX, NDX, Bp), dtype),
+                jax.ShapeDtypeStruct((T, NDX, NU, Bp), dtype),
+                jax.ShapeDtypeStruct((T, NDX, Bp), dtype),
+                jax.ShapeDtypeStruct((T, NU, Bp), dtype),
+                jax.ShapeDtypeStruct((T, NDX, NDX, Bp), dtype),
+                jax.ShapeDtypeStruct((T, NDX, NU, Bp), dtype),
+                jax.ShapeDtypeStruct((T, NU, NU, Bp), dtype),
+                jax.ShapeDtypeStruct((T, NDX, Bp), dtype),
+                jax.ShapeDtypeStruct((T, 8, Bp), dtype),
+            ],
+            interpret=interpret,
+        )(xs_l[:T], us_l)
+        Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, xnext, costs = outs
+
+        # terminal knot: single-knot grid
+        term_outs = pl.pallas_call(
+            run_kernel(spec, True),
+            grid=(1, Bp // nb),
+            in_specs=[in_spec(NDX), in_spec(NU)],
+            out_specs=[out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NDX), out_spec(NU),
+                       out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NU, NU),
+                       out_spec(NDX), out_spec(8)],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, NDX, NDX, Bp), dtype),
+                jax.ShapeDtypeStruct((1, NDX, NU, Bp), dtype),
+                jax.ShapeDtypeStruct((1, NDX, Bp), dtype),
+                jax.ShapeDtypeStruct((1, NU, Bp), dtype),
+                jax.ShapeDtypeStruct((1, NDX, NDX, Bp), dtype),
+                jax.ShapeDtypeStruct((1, NDX, NU, Bp), dtype),
+                jax.ShapeDtypeStruct((1, NU, NU, Bp), dtype),
+                jax.ShapeDtypeStruct((1, NDX, Bp), dtype),
+                jax.ShapeDtypeStruct((1, 8, Bp), dtype),
+            ],
+            interpret=interpret,
+        )(xs_l[T:T + 1], us_l[:1] * 0.0)
+        tFx, tFu, tLx, tLu, tLxx, tLxu, tLuu, _, tcost = term_outs
+
+        def back(x, lead):
+            # [T, dims..., Bp] -> [B, T, dims...]
+            perm = (x.ndim - 1,) + tuple(range(x.ndim - 1))
+            return jnp.transpose(x, perm)[:B]
+
+        run = dict(
+            Fx=back(Fx, T), Fu=back(Fu, T), Lx=back(Lx, T), Lu=back(Lu, T),
+            Lxx=back(Lxx, T), Lxu=back(Lxu, T), Luu=back(Luu, T))
+        term = dict(
+            Lx=back(tLx, 1)[:, 0], Lxx=back(tLxx, 1)[:, 0],
+            Fx=back(tFx, 1)[:, 0], Fu=back(tFu, 1)[:, 0],
+            Lu=back(tLu, 1)[:, 0], Lxu=back(tLxu, 1)[:, 0], Luu=back(tLuu, 1)[:, 0])
+        xnext_b = back(xnext, T)
+        cost = jnp.sum(back(costs, T)[:, :, 0], axis=1) + back(tcost, 1)[:, 0, 0]
+        return cost, run, term, xnext_b
+
+    return linearize_batched
+
+
+# ---------------------------------------------------------------------------
+# fast-path assembly (custom_vmap dispatch from the per-scenario solver)
+# ---------------------------------------------------------------------------
+
+class FastPath(NamedTuple):
+    linearize: object   # per-scenario (xs, us) -> (cost, run ActionDerivs, term ActionDerivs, xnext)
+    rollout: object     # per-scenario (xs, us, k, K, x0, alpha) -> (xs_try, us_try, cost)
+
+
+def build_fast_path(problem, bounds, nb: int = 128, interpret=None) -> FastPath:
+    """Build the fused VSA fast path for a CONCRETE problem (call outside
+    jit — robot/cost constants are baked into the kernels). Valid for the
+    DDP/BoxDDP (no-gaps) solver variants only."""
+    import dataclasses as _dc
+
+    from ..models.integrator import ActionDerivs
+    from ..solvers import ddp as _ddp
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    spec = extract_vsa_spec(problem, bounds)
+    T = problem.T
+    lin_b = build_linearize(spec, T, nb, interpret)
+    roll_b = build_rollout(spec, T, nb, interpret)
+
+    @jax.custom_batching.custom_vmap
+    def lin_cv(xs, us):
+        cost, run_diff, term_diff, xnext = _ddp._linearize_core(problem, xs, us)
+        return cost, run_diff, term_diff, xnext
+
+    def _bc(x, b, axis_size):
+        return x if b else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
+
+    @lin_cv.def_vmap
+    def _lin_rule(axis_size, in_batched, xs, us):
+        xs = _bc(xs, in_batched[0], axis_size)
+        us = _bc(us, in_batched[1], axis_size)
+        cost, run, term, xnext = lin_b(xs, us)
+        run_d = ActionDerivs(**run)
+        term_d = ActionDerivs(
+            Fx=term["Fx"], Fu=term["Fu"], Lx=term["Lx"], Lu=term["Lu"],
+            Lxx=term["Lxx"], Lxu=term["Lxu"], Luu=term["Luu"])
+        out = (cost, run_d, term_d, xnext)
+        return out, jax.tree.map(lambda _: True, out)
+
+    @jax.custom_batching.custom_vmap
+    def roll_cv(xs, us, k, K, x0, alpha):
+        p = _dc.replace(problem, x0=x0)
+        fs = jnp.zeros((T + 1, xs.shape[-1]), dtype=xs.dtype)
+        return _ddp._rollout(p, xs, us, k, K, fs, alpha, jnp.asarray(False), False, bounds)
+
+    @roll_cv.def_vmap
+    def _roll_rule(axis_size, in_batched, *args):
+        args = tuple(_bc(a, b, axis_size) for a, b in zip(args, in_batched))
+        out = roll_b(*args)
+        return out, jax.tree.map(lambda _: True, out)
+
+    return FastPath(linearize=lin_cv, rollout=roll_cv)

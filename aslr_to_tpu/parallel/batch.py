@@ -28,13 +28,23 @@ def make_batched_solver(
     bounds: Optional[Bounds] = None,
     warm_start: bool = False,
     keep_log: bool = False,
+    use_fast_path: bool = False,
 ):
     """Build ``solve_batch(x0s) -> SolveResult`` vmapped over initial states.
 
     ``x0s`` has shape [B, nx]; every other problem leaf is shared. The
     returned function is jit-compiled; feed it sharded ``x0s`` (see
-    :func:`sharded_solve`) to scale across a mesh.
+    :func:`sharded_solve`) to scale across a mesh. ``use_fast_path``
+    activates the fused Pallas VSA kernels (2-DoF VSA problems,
+    no-gaps variants only).
     """
+    fast = None
+    if use_fast_path:
+        from ..pallas.vsa_kernels import build_fast_path
+
+        if use_gaps or bounds is None:
+            raise ValueError("fast path supports the BoxDDP (no-gaps) variant")
+        fast = build_fast_path(problem, bounds)
 
     def one(x0):
         p = dataclasses.replace(problem, x0=x0)
@@ -43,7 +53,7 @@ def make_batched_solver(
             us0 = p.quasi_static(xs0[:-1])
         else:
             us0 = None
-        res = solve(p, xs0, us0, settings=settings, use_gaps=use_gaps, bounds=bounds)
+        res = solve(p, xs0, us0, settings=settings, use_gaps=use_gaps, bounds=bounds, fast=fast)
         if not keep_log:
             res = res._replace(log=jax.tree.map(lambda a: jnp.zeros((0,), a.dtype), res.log))
         return res

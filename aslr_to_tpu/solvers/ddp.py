@@ -128,18 +128,26 @@ class _LoopState(NamedTuple):
     log: SolveLog
 
 
-def _linearize(problem: ShootingProblem, xs, us):
-    """calc + calcDiff over all knots (vmap) + terminal; gaps fs."""
+def _linearize_core(problem: ShootingProblem, xs, us):
+    """calc + calcDiff over all knots (vmap) + terminal."""
     run_data, run_diff = jax.vmap(problem.running.calc_with_diff)(xs[:-1], us)
     u0 = jnp.zeros(problem.terminal.nu, dtype=xs.dtype)
     term_data, term_diff = problem.terminal.calc_with_diff(xs[-1], u0)
     cost = jnp.sum(run_data.cost) + term_data.cost
+    return cost, run_diff, term_diff, run_data.xnext
 
+
+def _gaps(problem: ShootingProblem, xs, xnext):
     state = problem.state
     fs0 = state.diff(xs[0], problem.x0)
-    fs_next = jax.vmap(state.diff)(xs[1:], run_data.xnext)
-    fs = jnp.concatenate([fs0[None], fs_next], axis=0)
-    return cost, run_diff, term_diff, fs
+    fs_next = jax.vmap(state.diff)(xs[1:], xnext)
+    return jnp.concatenate([fs0[None], fs_next], axis=0)
+
+
+def _linearize(problem: ShootingProblem, xs, us):
+    """calc + calcDiff over all knots (vmap) + terminal; gaps fs."""
+    cost, run_diff, term_diff, xnext = _linearize_core(problem, xs, us)
+    return cost, run_diff, term_diff, _gaps(problem, xs, xnext)
 
 
 @functools.lru_cache(maxsize=None)
@@ -314,9 +322,13 @@ def solve(
     settings: SolverSettings = SolverSettings(),
     use_gaps: bool = True,
     bounds: Optional[Bounds] = None,
+    fast=None,
 ) -> SolveResult:
     """Run the solver. ``use_gaps=True`` -> FDDP family, else DDP family;
     ``bounds`` switches on the BoxQP backward pass + clamped rollouts.
+    ``fast`` optionally supplies fused Pallas linearize/rollout callables
+    (see ``aslr_to_tpu.pallas.vsa_kernels.build_fast_path``); the generic
+    XLA path is the reference implementation.
 
     Pure function of its pytree arguments: jit it, vmap it over batches of
     ``problem`` leaves (x0, cost targets, ...), shard the batch over a mesh.
@@ -356,7 +368,11 @@ def solve(
         return ~st.done
 
     def body(st: _LoopState):
-        cost, run_diff, term_diff, fs = _linearize(problem, st.xs, st.us)
+        if fast is not None:
+            cost, run_diff, term_diff, xnext = fast.linearize(st.xs, st.us)
+        else:
+            cost, run_diff, term_diff, xnext = _linearize_core(problem, st.xs, st.us)
+        fs = _gaps(problem, st.xs, xnext)
         gap_norm = jnp.max(jnp.abs(fs))
         feasible = gap_norm < s.th_gaptol
         infeasible_f = (~feasible).astype(dtype)
@@ -392,8 +408,11 @@ def solve(
         # typical iteration costs 1-2 rollouts instead of always 10, with
         # Crocoddyl's exact first-acceptable-alpha semantics.
         def try_alpha(alpha):
-            xs_t, us_t, cost_t = _rollout(
-                problem, st.xs, st.us, bw.k, bw.K, fs, alpha, ~feasible, use_gaps, bounds)
+            if fast is not None:
+                xs_t, us_t, cost_t = fast.rollout(st.xs, st.us, bw.k, bw.K, problem.x0, alpha)
+            else:
+                xs_t, us_t, cost_t = _rollout(
+                    problem, st.xs, st.us, bw.k, bw.K, fs, alpha, ~feasible, use_gaps, bounds)
             if use_gaps:
                 # dv correction (Crocoddyl FDDP::expectedImprovement):
                 # dv = -sum_t fs_t . (Vxx_t dx_t), dx_t = xs_t (-) xs_try_t.
