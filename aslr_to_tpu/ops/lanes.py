@@ -233,10 +233,43 @@ def solve2(M, b):
     )
 
 
+# -- transcendentals Mosaic lacks -------------------------------------------
+
+_ATAN_COEFFS = (  # Abramowitz & Stegun 4.4.49, |err| <= 2e-8 on [0, 1]
+    0.9999993329, -0.3332985605, 0.1994653599, -0.1390853351,
+    0.0964200441, -0.0559098861, 0.0218612288, -0.0040540580,
+)
+
+
+def atan_lanes(a):
+    """atan for a in [0, 1] (polynomial; Mosaic has no inverse trig)."""
+    s = a * a
+    p = _ATAN_COEFFS[-1]
+    for c in _ATAN_COEFFS[-2::-1]:
+        p = p * s + c
+    return a * p
+
+
+def atan2_lanes(y, x):
+    """atan2 for y >= 0 (the log-map use case): result in [0, pi]."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    a = lo / jnp.maximum(hi, 1e-30)
+    r = atan_lanes(a)
+    r = jnp.where(ay > ax, 0.5 * jnp.pi - r, r)
+    return jnp.where(x < 0.0, jnp.pi - r, r)
+
+
 # -- SE(3) log on lanes ------------------------------------------------------
 
 def log3_lanes(R):
-    """Axis-angle of a lane rotation matrix (sanitized branches, as so3.log3)."""
+    """Axis-angle of a lane rotation matrix (sanitized branches, as so3.log3).
+
+    Uses ``theta = atan2(|vee|, cos)`` — ``|vee| = sin(theta)`` exactly for
+    theta in [0, pi] — instead of arccos (no Mosaic lowering for acos).
+    """
     trace = R[0][0] + R[1][1] + R[2][2]
     cc = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     u = 1.0 - cc
@@ -246,9 +279,8 @@ def log3_lanes(R):
     small = u < 5e-7        # fp32-friendly threshold
     near_pi = s < 5e-5
 
-    safe_c = jnp.where(small | near_pi, 0.0, cc)
-    theta = jnp.arccos(safe_c)
-    sin_theta = jnp.sin(theta)
+    sin_theta = jnp.sqrt(jnp.maximum(v_dot(vee, vee), 1e-30))
+    theta = atan2_lanes(sin_theta, cc)
     fac_gen = theta / sin_theta
 
     theta2_t = 2.0 * u * (1.0 + u / 6.0)

@@ -32,7 +32,8 @@ def main():
     w = two_dof_vsa_boxddp(T=T, dtype=dtype)
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     settings = SolverSettings(maxiter=MAXITER, th_stop=1e-5, use_pallas_backward=use_pallas)
-    fn = make_batched_solver(w.problem, settings, use_gaps=False, bounds=w.bounds)
+    fn = make_batched_solver(w.problem, settings, use_gaps=False, bounds=w.bounds,
+                             use_fast_path=use_pallas)
 
     nx = w.problem.state.nx
     x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (BATCH, nx), dtype=dtype)
