@@ -13,7 +13,7 @@ import os
 import sys
 import time
 
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 MAXITER = int(os.environ.get("BENCH_MAXITER", "20"))
 T = int(os.environ.get("BENCH_T", "100"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
