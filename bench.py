@@ -38,9 +38,11 @@ def main():
     nx = w.problem.state.nx
     x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (BATCH, nx), dtype=dtype)
 
-    # compile + warm up
+    # compile + warm up (progress on stderr; stdout stays one JSON line)
+    t0 = time.perf_counter()
     out = fn(x0s)
     jax.block_until_ready(out.cost)
+    print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     for i in range(REPS):
