@@ -317,21 +317,75 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
     like = x[0]
     dt = spec.dt
 
-    # -- dynamics + jacobians via jvp seeds -------------------------------
-    def dyn(inp):
-        xx, uu = inp[:NDX], inp[NDX:]
-        return tuple(_dynamics_lanes(spec, list(xx), list(uu)))
+    # -- dynamics + ANALYTIC jacobians ------------------------------------
+    # Mirrors DifferentialVSADynamics.calc_diff: RNEA partials from 4 jvp
+    # seeds through rnea only, Minv/Binv blocks assembled explicitly —
+    # ~8x fewer ops than differentiating the full dynamics per seed.
+    q_l_ = [x[0], x[1]]
+    q_m_ = [x[2], x[3]]
+    v_l_ = [x[4], x[5]]
+    kd_ = [u[2], u[3]]
+    tau_c_ = [kd_[i] * (q_l_[i] - q_m_[i]) for i in range(NL)]
 
-    inp = tuple(x + u)
-    a = dyn(inp)
-    cols = []
+    M, nle = lanes.mass_nle_lanes(spec.rc, q_l_, v_l_)
+    a_l = list(lanes.solve2(M, [-nle[i] - tau_c_[i] for i in range(NL)]))
+    binv = spec.binv
+    a_m = [binv[i][0] * (u[0] + tau_c_[0]) + binv[i][1] * (u[1] + tau_c_[1]) for i in range(NL)]
+    a = a_l + a_m
+
+    cols = None
     if not terminal:
         one = jnp.ones_like(like)
         zero = jnp.zeros_like(like)
-        for j in range(NDX + NU):
-            seed = tuple(one if i == j else zero for i in range(NDX + NU))
-            _, col = jax.jvp(dyn, (inp,), (seed,))
-            cols.append(col)          # da/d inp_j, tuple of 4 lanes
+
+        # Minv explicit (2x2)
+        det = M[0][0] * M[1][1] - M[0][1] * M[1][0]
+        idet = 1.0 / det
+        Minv = [[M[1][1] * idet, -M[0][1] * idet], [-M[1][0] * idet, M[0][0] * idet]]
+
+        # RNEA partials at (q_l, v_l, a_l): dtau_dq (2 seeds), dtau_dv (2 seeds)
+        def rnea_q(qq):
+            return tuple(lanes.rnea_lanes(spec.rc, list(qq), v_l_, a_l))
+
+        def rnea_v(vv):
+            return tuple(lanes.rnea_lanes(spec.rc, q_l_, list(vv), a_l))
+
+        dtau_dq = []
+        dtau_dv = []
+        for j in range(NL):
+            seed = tuple(one if i == j else zero for i in range(NL))
+            _, cq = jax.jvp(rnea_q, (tuple(q_l_),), (seed,))
+            _, cv = jax.jvp(rnea_v, (tuple(v_l_),), (seed,))
+            dtau_dq.append(cq)   # column j: d tau / d q_j (tuple of 2)
+            dtau_dv.append(cv)
+
+        # acceleration jacobian columns, input order [q_l(2), q_m(2), v_l(2), v_m(2), tau(2), k(2)]
+        def mv(Minv_, col):
+            return [Minv_[0][0] * col[0] + Minv_[0][1] * col[1],
+                    Minv_[1][0] * col[0] + Minv_[1][1] * col[1]]
+
+        cols = []
+        for j in range(NL):      # d a / d q_l_j: Minv(-dtau_dq_col - kd_j e_j); Binv e_j kd_j
+            link = mv(Minv, [-(dtau_dq[j][0]) - (kd_[j] if j == 0 else 0.0),
+                             -(dtau_dq[j][1]) - (kd_[j] if j == 1 else 0.0)])
+            mot = [binv[0][j] * kd_[j], binv[1][j] * kd_[j]]
+            cols.append(tuple(link + mot))
+        for j in range(NL):      # d a / d q_m_j
+            link = mv(Minv, [(kd_[j] if j == 0 else 0.0), (kd_[j] if j == 1 else 0.0)])
+            mot = [-binv[0][j] * kd_[j], -binv[1][j] * kd_[j]]
+            cols.append(tuple(link + mot))
+        for j in range(NL):      # d a / d v_l_j
+            link = mv(Minv, [-dtau_dv[j][0], -dtau_dv[j][1]])
+            cols.append(tuple(link + [zero, zero]))
+        for j in range(NL):      # d a / d v_m_j
+            cols.append((zero, zero, zero, zero))
+        for j in range(NL):      # d a / d tau_j
+            cols.append((zero, zero, binv[0][j] * one, binv[1][j] * one))
+        for j in range(NL):      # d a / d k_j : da_l = Minv[:,j](q_m-q_l)_j, da_m = Binv[:,j](q_l-q_m)_j
+            d = q_l_[j] - q_m_[j]
+            link = [Minv[0][j] * (-d), Minv[1][j] * (-d)]
+            mot = [binv[0][j] * d, binv[1][j] * d]
+            cols.append(tuple(link + mot))
 
     # -- costs ------------------------------------------------------------
     q_l = [x[0], x[1]]
