@@ -60,15 +60,34 @@ def main():
     }))
 
 
+def _fail(msg):
+    print(json.dumps({
+        "metric": "batched BoxDDP solves/s/chip (2-DoF VSA, T=100)",
+        "value": 0.0,
+        "unit": "solves/s",
+        "vs_baseline": 0.0,
+        "error": msg[:500],
+    }))
+
+
 if __name__ == "__main__":
+    # Watchdog: the tunneled TPU can wedge on a stuck device claim; make
+    # sure ONE JSON line is printed even then (best effort — SIGALRM may
+    # not interrupt a blocked PJRT call, but catches slow compiles).
+    import signal
+
+    budget = int(os.environ.get("BENCH_TIMEOUT_S", "480"))
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(f"bench exceeded {budget}s (TPU wedged or compile too slow)")
+
+    try:
+        signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(budget)
+    except (ValueError, OSError):
+        pass
     try:
         main()
-    except Exception as e:  # never crash the driver: report zero with the error
-        print(json.dumps({
-            "metric": "batched BoxDDP solves/s/chip (2-DoF VSA, T=100)",
-            "value": 0.0,
-            "unit": "solves/s",
-            "vs_baseline": 0.0,
-            "error": f"{type(e).__name__}: {e}"[:500],
-        }))
+    except BaseException as e:  # never crash the driver: report zero with the error
+        _fail(f"{type(e).__name__}: {e}")
         sys.exit(0)
