@@ -71,9 +71,10 @@ def _transpose12(A):
 
 
 def _chol4(A):
-    """Unrolled 4x4 Cholesky per lane; A [4,4,NB] -> rows of L (list of lists)."""
-    L = [[None] * 4 for _ in range(4)]
-    for i in range(4):
+    """Unrolled n x n Cholesky per lane; A [n,n,NB] -> rows of L (lists)."""
+    n = A.shape[0]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
         for j in range(i + 1):
             s = A[i, j]
             for k in range(j):
@@ -86,33 +87,35 @@ def _chol4(A):
 
 
 def _chol4_solve(L, b_cols):
-    """Solve L L^T x = b per lane for each column; b_cols [4, m, NB]."""
+    """Solve L L^T x = b per lane for each column; b_cols [n, m, NB]."""
+    n = len(L)
     m = b_cols.shape[1]
     cols = []
     for c in range(m):
-        b = [b_cols[i, c] for i in range(4)]
-        y = [None] * 4
-        for i in range(4):
+        b = [b_cols[i, c] for i in range(n)]
+        y = [None] * n
+        for i in range(n):
             s = b[i]
             for k in range(i):
                 s = s - L[i][k] * y[k]
             y[i] = s / L[i][i]
-        x = [None] * 4
-        for i in range(3, -1, -1):
+        x = [None] * n
+        for i in range(n - 1, -1, -1):
             s = y[i]
-            for k in range(i + 1, 4):
+            for k in range(i + 1, n):
                 s = s - L[k][i] * x[k]
             x[i] = s / L[i][i]
-        cols.append(jnp.stack(x))          # [4, NB]
-    return jnp.stack(cols, axis=1)         # [4, m, NB]
+        cols.append(jnp.stack(x))          # [n, NB]
+    return jnp.stack(cols, axis=1)         # [n, m, NB]
 
 
 def _masked_chol_solve(Quu, free, B_cols):
     """Free-subsystem solve via the masked full-size system (exact zeros on
     clamped rows) — the same trick as solvers/boxqp.masked_free_solve."""
-    eye = jnp.eye(NU, dtype=Quu.dtype)[:, :, None]
+    n = Quu.shape[0]
+    eye = jnp.eye(n, dtype=Quu.dtype)[:, :, None]
     mask2 = free[:, None, :] * free[None, :, :]
-    A = Quu * mask2 + eye * (1.0 - free)[:, None, :] * jnp.eye(NU, dtype=Quu.dtype)[:, :, None]
+    A = Quu * mask2 + eye * (1.0 - free)[:, None, :] * jnp.eye(n, dtype=Quu.dtype)[:, :, None]
     # note: (1-free) only on the diagonal
     L = _chol4(A)
     return _chol4_solve(L, B_cols * free[:, None, :])
@@ -224,6 +227,201 @@ def _riccati_box_kernel(T, qp_iters, add_reg_to_carry,
         stats_ref[r] = zeros
     Vx_out_ref[:] = Vx_s[:]
     Vxx_out_ref[:] = Vxx_s[:]
+
+
+def _riccati_fddp_kernel(T, nu, add_reg_to_carry,
+                         Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
+                         tLx_ref, tLxx_ref, fs_ref, reg_ref,
+                         k_ref, K_ref, Vxx_all_ref, stats_ref, cVx_ref, cVxx_ref,
+                         Vx_s, Vxx_s):
+    """FDDP (unconstrained) backward chunk: deflected Vx (+ Vxx fs) stored at
+    every node (Crocoddyl SolverFDDP::backwardPass), per-node Vxx emitted for
+    the line search's dv correction, and the gap terms of the expected
+    improvement accumulated in-kernel."""
+    dtype = Fx_ref.dtype
+    NB = Fx_ref.shape[-1]
+    eye8 = jnp.eye(NDX, dtype=dtype)[:, :, None]
+    eyeu = jnp.eye(nu, dtype=dtype)[:, :, None]
+    reg = reg_ref[0]
+    zeros = jnp.zeros((NB,), dtype=dtype)
+
+    if add_reg_to_carry:
+        # terminal node: regularize Lxx, deflect Vx with fs[T], emit stats
+        VxxT = tLxx_ref[:] + eye8 * reg[None, None, :]
+        fsT = fs_ref[T]
+        VxT = tLx_ref[:] + _matvec(VxxT, fsT)
+        Vxx_s[:] = VxxT
+        Vx_s[:] = VxT
+        Vxx_all_ref[T] = VxxT
+        dg_gap0 = -jnp.sum(VxT * fsT, axis=0)
+        dq_gap0 = jnp.sum(fsT * _matvec(VxxT, fsT), axis=0)
+    else:
+        Vxx_s[:] = tLxx_ref[:]
+        Vx_s[:] = tLx_ref[:]
+        dg_gap0 = zeros
+        dq_gap0 = zeros
+
+    def body(i, carry):
+        dg, dq, stop, dg_gap, dq_gap = carry
+        t = T - 1 - i
+        Fx = Fx_ref[t]
+        Fu = Fu_ref[t]
+        Vx = Vx_s[:]
+        Vxx = Vxx_s[:]
+
+        Qx = Lx_ref[t] + _matvec_t(Fx, Vx)
+        Qu = Lu_ref[t] + _matvec_t(Fu, Vx)
+        FxTVxx = _matmul_t_left(Fx, Vxx)
+        Qxx = Lxx_ref[t] + _matmul(FxTVxx, Fx)
+        Qxu = Lxu_ref[t] + _matmul(FxTVxx, Fu)
+        FuTVxx = _matmul_t_left(Fu, Vxx)
+        Quu = Luu_ref[t] + _matmul(FuTVxx, Fu) + eyeu * reg[None, None, :]
+
+        L = _chol4(Quu)
+        k = _chol4_solve(L, Qu[:, None, :])[:, 0, :]
+        QxuT = _transpose12(Qxu)
+        K = _chol4_solve(L, QxuT)
+
+        Quuk = _matvec(Quu, k)
+        Vx_new = Qx + _matvec_t(K, Quuk) - 2.0 * _matvec_t(K, Qu)
+        Vxx_new = Qxx - _matmul(Qxu, K)
+        Vxx_new = 0.5 * (Vxx_new + _transpose12(Vxx_new)) + eye8 * reg[None, None, :]
+        fs_t = fs_ref[t]
+        Vx_new = Vx_new + _matvec(Vxx_new, fs_t)   # FDDP deflection
+
+        Vx_s[:] = Vx_new
+        Vxx_s[:] = Vxx_new
+        k_ref[t] = k
+        K_ref[t] = K
+        Vxx_all_ref[t] = Vxx_new
+
+        dg = dg + jnp.sum(Qu * k, axis=0)
+        dq = dq - jnp.sum(k * Quuk, axis=0)
+        stop = stop + jnp.sum(Qu * Qu, axis=0)
+        dg_gap = dg_gap - jnp.sum(Vx_new * fs_t, axis=0)
+        dq_gap = dq_gap + jnp.sum(fs_t * _matvec(Vxx_new, fs_t), axis=0)
+        return dg, dq, stop, dg_gap, dq_gap
+
+    dg, dq, stop, dg_gap, dq_gap = jax.lax.fori_loop(
+        0, T, body, (zeros, zeros, zeros, dg_gap0, dq_gap0))
+    ok = (jnp.isfinite(dg) & jnp.isfinite(stop)
+          & jnp.all(jnp.isfinite(Vx_s[:]), axis=0)).astype(dtype)
+    stats_ref[0] = dg
+    stats_ref[1] = dq
+    stats_ref[2] = stop
+    stats_ref[3] = ok
+    stats_ref[4] = dg_gap
+    stats_ref[5] = dq_gap
+    stats_ref[6] = zeros
+    stats_ref[7] = zeros
+    cVx_ref[:] = Vx_s[:]
+    cVxx_ref[:] = Vxx_s[:]
+
+
+class FddpBackwardOut(NamedTuple):
+    k: jnp.ndarray        # [B, T, nu]
+    K: jnp.ndarray        # [B, T, nu, 8]
+    Vxx: jnp.ndarray      # [B, T+1, 8, 8] (for the dv correction)
+    dg: jnp.ndarray
+    dq: jnp.ndarray
+    stop: jnp.ndarray
+    dg_gap: jnp.ndarray
+    dq_gap: jnp.ndarray
+    ok: jnp.ndarray
+
+
+def _fddp_chunk_call(Tc, nu, nb, interpret, add_reg, dtype, Bp, args):
+    grid = (Bp // nb,)
+
+    def spec(*dims):
+        block = dims + (nb,)
+        ndim = len(block)
+        return pl.BlockSpec(block, lambda b: (0,) * (ndim - 1) + (b,), memory_space=pltpu.VMEM)
+
+    # fs chunk block covers Tc+1 entries (node T of the chunk only used by
+    # the terminal branch); pass the fs slice with one extra row.
+    kernel = functools.partial(_riccati_fddp_kernel, Tc, nu, add_reg)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            spec(Tc, NDX, NDX), spec(Tc, NDX, nu), spec(Tc, NDX), spec(Tc, nu),
+            spec(Tc, NDX, NDX), spec(Tc, NDX, nu), spec(Tc, nu, nu),
+            spec(NDX), spec(NDX, NDX), spec(Tc + 1, NDX), spec(1),
+        ],
+        out_specs=[spec(Tc, nu), spec(Tc, nu, NDX), spec(Tc + 1, NDX, NDX), spec(8),
+                   spec(NDX), spec(NDX, NDX)],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tc, nu, Bp), dtype),
+            jax.ShapeDtypeStruct((Tc, nu, NDX, Bp), dtype),
+            jax.ShapeDtypeStruct((Tc + 1, NDX, NDX, Bp), dtype),
+            jax.ShapeDtypeStruct((8, Bp), dtype),
+            jax.ShapeDtypeStruct((NDX, Bp), dtype),
+            jax.ShapeDtypeStruct((NDX, NDX, Bp), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NDX, nb), dtype),
+            pltpu.VMEM((NDX, NDX, nb), dtype),
+        ],
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("nu", "nb", "t_chunk", "interpret"))
+def riccati_fddp_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
+                          fs, reg, nu: int = 2, nb: int = 128, t_chunk: int = 25,
+                          interpret: bool = False) -> FddpBackwardOut:
+    """Batched fused FDDP backward pass (batch-major inputs, fs [B,T+1,8])."""
+    B, T = Fx.shape[0], Fx.shape[1]
+    dtype = Fx.dtype
+    Bp = ((B + nb - 1) // nb) * nb
+
+    def to_lanes(x):
+        x = _pad_to(x, Bp, 0)
+        perm = tuple(range(1, x.ndim)) + (0,)
+        return jnp.transpose(x, perm)
+
+    Fx_l, Fu_l, Lx_l, Lu_l = map(to_lanes, (Fx, Fu, Lx, Lu))
+    Lxx_l, Lxu_l, Luu_l = map(to_lanes, (Lxx, Lxu, Luu))
+    tLx_l, tLxx_l, fs_l = map(to_lanes, (term_Lx, term_Lxx, fs))
+    reg_l = jnp.concatenate([reg, jnp.ones(Bp - B, dtype=dtype)])[None, :]
+
+    n_chunks = (T + t_chunk - 1) // t_chunk
+    carry_Vx, carry_Vxx = tLx_l, tLxx_l
+    add_reg = True
+    ks, Ks, Vxxs, stats_acc = [], [], [], None
+    for c in range(n_chunks - 1, -1, -1):
+        lo = c * t_chunk
+        hi = min(T, lo + t_chunk)
+        Tc = hi - lo
+        out = _fddp_chunk_call(
+            Tc, nu, nb, interpret, add_reg, dtype, Bp,
+            (Fx_l[lo:hi], Fu_l[lo:hi], Lx_l[lo:hi], Lu_l[lo:hi],
+             Lxx_l[lo:hi], Lxu_l[lo:hi], Luu_l[lo:hi],
+             carry_Vx, carry_Vxx, fs_l[lo:hi + 1], reg_l))
+        k_c, K_c, Vxx_c, stats_c, carry_Vx, carry_Vxx = out
+        if add_reg:
+            Vxxs.append(Vxx_c)            # includes node T row
+        else:
+            Vxxs.append(Vxx_c[:Tc])
+        add_reg = False
+        ks.append(k_c)
+        Ks.append(K_c)
+        stats_acc = stats_c if stats_acc is None else stats_acc + stats_c
+
+    k_l = jnp.concatenate(ks[::-1], axis=0)
+    K_l = jnp.concatenate(Ks[::-1], axis=0)
+    Vxx_l = jnp.concatenate(Vxxs[::-1], axis=0)       # [T+1, 8, 8, Bp]
+    k = jnp.transpose(k_l, (2, 0, 1))[:B]
+    K = jnp.transpose(K_l, (3, 0, 1, 2))[:B]
+    Vxx = jnp.transpose(Vxx_l, (3, 0, 1, 2))[:B]
+    n_chunks_f = float(n_chunks)
+    return FddpBackwardOut(
+        k=k, K=K, Vxx=Vxx,
+        dg=stats_acc[0, :B], dq=stats_acc[1, :B], stop=stats_acc[2, :B],
+        dg_gap=stats_acc[4, :B], dq_gap=stats_acc[5, :B],
+        ok=stats_acc[3, :B] > (n_chunks_f - 0.5),
+    )
 
 
 class BoxBackwardOut(NamedTuple):

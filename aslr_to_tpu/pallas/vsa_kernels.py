@@ -49,8 +49,11 @@ class VSASpec(NamedTuple):
     uw: np.ndarray            # [4] combined control-reg weights
     stiff_w: float            # combined linear stiffness weight (weight * lamda)
     stiff_ref: np.ndarray     # [2] stiffness reference
-    lb: np.ndarray            # [4]
-    ub: np.ndarray            # [4]
+    lb: np.ndarray            # [nu] (None: unbounded, e.g. SEA/FDDP)
+    ub: np.ndarray
+    variant: str = "vsa"      # "vsa" (stiffness in u, nu=4) | "sea" (fixed K, nu=2)
+    K: np.ndarray = None      # [2,2] spring matrix (SEA)
+    nu: int = 4
 
 
 def extract_vsa_spec(problem, bounds) -> VSASpec:
@@ -64,13 +67,20 @@ def extract_vsa_spec(problem, bounds) -> VSASpec:
         ResidualModelFramePlacementASR,
         ResidualModelState,
     )
-    from ..models.dynamics import DifferentialVSADynamics
+    from ..models.dynamics import DifferentialSEADynamics, DifferentialVSADynamics
 
     running = problem.running
     diff = running.differential
     terminal_diff = problem.terminal.differential
-    if not isinstance(diff, DifferentialVSADynamics):
-        raise TypeError("fast path requires DifferentialVSADynamics")
+    if isinstance(diff, DifferentialVSADynamics):
+        variant, nu, K = "vsa", 4, None
+    elif isinstance(diff, DifferentialSEADynamics):
+        from ..models.actuation import ASRActuation
+        if not isinstance(diff.actuation, ASRActuation):
+            raise TypeError("SEA fast path requires ASRActuation")
+        variant, nu, K = "sea", 2, np.asarray(diff.K, dtype=np.float64)
+    else:
+        raise TypeError("fast path requires VSA or SEA dynamics")
     robot = diff.state.robot
     if robot.nv != NL:
         raise TypeError("fast path requires a 2-DoF chain")
@@ -84,7 +94,7 @@ def extract_vsa_spec(problem, bounds) -> VSASpec:
 
     w_goal = w_goal_term = 0.0
     xw = np.zeros(NDX)
-    uw = np.zeros(NU)
+    uw = np.zeros(nu)
     stiff_w = 0.0
     stiff_ref = np.zeros(NL)
     frame_id = None
@@ -114,7 +124,7 @@ def extract_vsa_spec(problem, bounds) -> VSASpec:
                 raise TypeError("fast path assumes zero state reference")
             xw += w * act_weights(c, NDX)
         elif isinstance(r, ResidualModelControl):
-            uw += w * act_weights(c, NU)
+            uw += w * act_weights(c, nu)
         else:
             raise TypeError(f"unsupported residual {type(r)}")
 
@@ -138,8 +148,11 @@ def extract_vsa_spec(problem, bounds) -> VSASpec:
         uw=uw,
         stiff_w=stiff_w,
         stiff_ref=stiff_ref,
-        lb=np.asarray(bounds.lb, dtype=np.float64),
-        ub=np.asarray(bounds.ub, dtype=np.float64),
+        lb=None if bounds is None else np.asarray(bounds.lb, dtype=np.float64),
+        ub=None if bounds is None else np.asarray(bounds.ub, dtype=np.float64),
+        variant=variant,
+        K=K,
+        nu=nu,
     )
 
 
@@ -148,13 +161,20 @@ def extract_vsa_spec(problem, bounds) -> VSASpec:
 # ---------------------------------------------------------------------------
 
 def _dynamics_lanes(spec: VSASpec, x, u):
-    """VSA accelerations: x list of 8 lanes, u list of 4 lanes -> a list of 4."""
+    """Soft-arm accelerations: x list of 8 lanes, u list of nu lanes -> 4 lanes.
+
+    VSA: u = [tau_m(2), k(2)], K = diag(k). SEA: u = tau_m(2), K constant."""
     q_l = [x[0], x[1]]
     q_m = [x[2], x[3]]
     v_l = [x[4], x[5]]
     tau_m = [u[0], u[1]]
-    kd = [u[2], u[3]]
-    tau_c = [kd[i] * (q_l[i] - q_m[i]) for i in range(NL)]
+    if spec.variant == "vsa":
+        kd = [u[2], u[3]]
+        tau_c = [kd[i] * (q_l[i] - q_m[i]) for i in range(NL)]
+    else:
+        Kc = spec.K
+        d = [q_l[i] - q_m[i] for i in range(NL)]
+        tau_c = [float(Kc[i][0]) * d[0] + float(Kc[i][1]) * d[1] for i in range(NL)]
 
     M, nle = lanes.mass_nle_lanes(spec.rc, q_l, v_l)
     rhs = [-nle[i] - tau_c[i] for i in range(NL)]
@@ -186,7 +206,7 @@ def _running_cost_lanes(spec: VSASpec, x, u):
     for i in range(NDX):
         if spec.xw[i] != 0.0:
             c = c + 0.5 * float(spec.xw[i]) * x[i] * x[i]
-    for i in range(NU):
+    for i in range(spec.nu):
         if spec.uw[i] != 0.0:
             c = c + 0.5 * float(spec.uw[i]) * u[i] * u[i]
     if spec.stiff_w != 0.0:
@@ -199,28 +219,38 @@ def _running_cost_lanes(spec: VSASpec, x, u):
 # rollout kernel
 # ---------------------------------------------------------------------------
 
-def _rollout_kernel(spec: VSASpec, T: int,
+def _rollout_kernel(spec: VSASpec, T: int, use_gaps: bool,
                     xs_ref, us_ref, k_ref, K_ref, x0_ref, alpha_ref,
+                    fs_ref, infeas_ref,
                     xs_out, us_out, cost_ref, x_s):
     dtype = xs_ref.dtype
     alpha = alpha_ref[0]
     dt = spec.dt
+    nu = spec.nu
 
-    x_s[:] = x0_ref[:]
-    xs_out[0] = x0_ref[:]
+    if use_gaps:
+        # FDDP gap contraction by (1 - alpha) (zero when feasible)
+        gscale = (alpha - 1.0) * infeas_ref[0]
+        x0t = jnp.stack([x0_ref[i] + fs_ref[0][i] * gscale for i in range(NDX)])
+    else:
+        gscale = None
+        x0t = x0_ref[:]
+    x_s[:] = x0t
+    xs_out[0] = x0t
 
     def body(t, cost_acc):
         x = [x_s[i] for i in range(NDX)]
         xr = xs_ref[t]
         dx = [x[i] - xr[i] for i in range(NDX)]
         u = []
-        for j in range(NU):
+        for j in range(nu):
             fb = k_ref[t][j] * alpha
             Kt = K_ref[t]
             for i in range(NDX):
                 fb = fb + Kt[j, i] * dx[i]
             uj = us_ref[t][j] - fb
-            uj = jnp.clip(uj, float(spec.lb[j]), float(spec.ub[j]))
+            if spec.lb is not None:
+                uj = jnp.clip(uj, float(spec.lb[j]), float(spec.ub[j]))
             u.append(uj)
 
         a = _dynamics_lanes(spec, x, u)
@@ -231,6 +261,9 @@ def _rollout_kernel(spec: VSASpec, T: int,
             x_new.append(x[i] + x[NDX // 2 + i] * dt + a[i] * dt * dt)
         for i in range(NDX // 2):
             x_new.append(x[NDX // 2 + i] + a[i] * dt)
+        if use_gaps:
+            fs_n = fs_ref[t + 1]
+            x_new = [x_new[i] + fs_n[i] * gscale for i in range(NDX)]
 
         x_stack = jnp.stack(x_new)
         x_s[:] = x_stack
@@ -247,11 +280,15 @@ def _rollout_kernel(spec: VSASpec, T: int,
         cost_ref[r] = jnp.zeros_like(cost)
 
 
-def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False):
-    """Returns rollout(xs, us, k, K, x0, alpha) -> (xs_try, us_try, cost),
-    batch-major in/out, dispatched to the lane kernel."""
+def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
+                  use_gaps: bool = False):
+    """Returns rollout(xs, us, k, K, x0, alpha, fs, infeasible) ->
+    (xs_try, us_try, cost), batch-major in/out, dispatched to the lane
+    kernel. ``fs``/``infeasible`` drive the FDDP gap contraction (pass
+    zeros for the DDP variants)."""
+    nu = spec.nu
 
-    def rollout_batched(xs, us, k, K, x0, alpha):
+    def rollout_batched(xs, us, k, K, x0, alpha, fs, infeas):
         B = xs.shape[0]
         dtype = xs.dtype
         Bp = ((B + nb - 1) // nb) * nb
@@ -263,8 +300,9 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False)
             return jnp.transpose(x, tuple(range(1, x.ndim)) + (0,))
 
         xs_l = to_lanes(xs[:, :T])   # reference states for feedback, knots 0..T-1
-        us_l, k_l, K_l, x0_l = map(to_lanes, (us, k, K, x0))
+        us_l, k_l, K_l, x0_l, fs_l = map(to_lanes, (us, k, K, x0, fs))
         alpha_l = jnp.concatenate([alpha, jnp.zeros(Bp - B, dtype)])[None, :]
+        infeas_l = jnp.concatenate([infeas.astype(dtype), jnp.zeros(Bp - B, dtype)])[None, :]
 
         grid = (Bp // nb,)
 
@@ -273,21 +311,21 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False)
             n = len(block)
             return pl.BlockSpec(block, lambda b: (0,) * (n - 1) + (b,), memory_space=pltpu.VMEM)
 
-        kern = functools.partial(_rollout_kernel, spec, T)
+        kern = functools.partial(_rollout_kernel, spec, T, use_gaps)
         xs_o, us_o, cost_o = pl.pallas_call(
             kern,
             grid=grid,
-            in_specs=[spec_nd(T, NDX), spec_nd(T, NU), spec_nd(T, NU), spec_nd(T, NU, NDX),
-                      spec_nd(NDX), spec_nd(1)],
-            out_specs=[spec_nd(T + 1, NDX), spec_nd(T, NU), spec_nd(8)],
+            in_specs=[spec_nd(T, NDX), spec_nd(T, nu), spec_nd(T, nu), spec_nd(T, nu, NDX),
+                      spec_nd(NDX), spec_nd(1), spec_nd(T + 1, NDX), spec_nd(1)],
+            out_specs=[spec_nd(T + 1, NDX), spec_nd(T, nu), spec_nd(8)],
             out_shape=[
                 jax.ShapeDtypeStruct((T + 1, NDX, Bp), dtype),
-                jax.ShapeDtypeStruct((T, NU, Bp), dtype),
+                jax.ShapeDtypeStruct((T, nu, Bp), dtype),
                 jax.ShapeDtypeStruct((8, Bp), dtype),
             ],
             scratch_shapes=[pltpu.VMEM((NDX, nb), dtype)],
             interpret=interpret,
-        )(xs_l, us_l, k_l, K_l, x0_l, alpha_l)
+        )(xs_l, us_l, k_l, K_l, x0_l, alpha_l, fs_l, infeas_l)
 
         xs_try = jnp.transpose(xs_o, (2, 0, 1))[:B]
         us_try = jnp.transpose(us_o, (2, 0, 1))[:B]
@@ -313,7 +351,7 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
     """
     dtype = x_ref.dtype
     x = [x_ref[i] for i in range(NDX)]
-    u = [u_ref[i] for i in range(NU)]
+    u = [u_ref[i] for i in range(spec.nu)]
     like = x[0]
     dt = spec.dt
 
@@ -324,8 +362,14 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
     q_l_ = [x[0], x[1]]
     q_m_ = [x[2], x[3]]
     v_l_ = [x[4], x[5]]
-    kd_ = [u[2], u[3]]
-    tau_c_ = [kd_[i] * (q_l_[i] - q_m_[i]) for i in range(NL)]
+    is_vsa = spec.variant == "vsa"
+    if is_vsa:
+        kd_ = [u[2], u[3]]
+        tau_c_ = [kd_[i] * (q_l_[i] - q_m_[i]) for i in range(NL)]
+    else:
+        Kc = spec.K
+        d_ = [q_l_[i] - q_m_[i] for i in range(NL)]
+        tau_c_ = [float(Kc[i][0]) * d_[0] + float(Kc[i][1]) * d_[1] for i in range(NL)]
 
     M, nle = lanes.mass_nle_lanes(spec.rc, q_l_, v_l_)
     a_l = list(lanes.solve2(M, [-nle[i] - tau_c_[i] for i in range(NL)]))
@@ -359,20 +403,30 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
             dtau_dq.append(cq)   # column j: d tau / d q_j (tuple of 2)
             dtau_dv.append(cv)
 
-        # acceleration jacobian columns, input order [q_l(2), q_m(2), v_l(2), v_m(2), tau(2), k(2)]
+        # acceleration jacobian columns, input order
+        # VSA: [q_l(2), q_m(2), v_l(2), v_m(2), tau(2), k(2)]
+        # SEA: [q_l(2), q_m(2), v_l(2), v_m(2), u(2)]
         def mv(Minv_, col):
             return [Minv_[0][0] * col[0] + Minv_[0][1] * col[1],
                     Minv_[1][0] * col[0] + Minv_[1][1] * col[1]]
 
+        # spring jacobian wrt q_l (dK_col[j][i] = d tau_c_i / d q_l_j)
+        if is_vsa:
+            dK_col = [[(kd_[j] if i == j else zero) for i in range(NL)] for j in range(NL)]
+        else:
+            dK_col = [[float(spec.K[i][j]) * one for i in range(NL)] for j in range(NL)]
+
         cols = []
-        for j in range(NL):      # d a / d q_l_j: Minv(-dtau_dq_col - kd_j e_j); Binv e_j kd_j
-            link = mv(Minv, [-(dtau_dq[j][0]) - (kd_[j] if j == 0 else 0.0),
-                             -(dtau_dq[j][1]) - (kd_[j] if j == 1 else 0.0)])
-            mot = [binv[0][j] * kd_[j], binv[1][j] * kd_[j]]
+        for j in range(NL):      # d a / d q_l_j: Minv(-dtau_dq_col - K e_j); Binv K e_j
+            link = mv(Minv, [-(dtau_dq[j][0]) - dK_col[j][0],
+                             -(dtau_dq[j][1]) - dK_col[j][1]])
+            mot = [binv[0][0] * dK_col[j][0] + binv[0][1] * dK_col[j][1],
+                   binv[1][0] * dK_col[j][0] + binv[1][1] * dK_col[j][1]]
             cols.append(tuple(link + mot))
-        for j in range(NL):      # d a / d q_m_j
-            link = mv(Minv, [(kd_[j] if j == 0 else 0.0), (kd_[j] if j == 1 else 0.0)])
-            mot = [-binv[0][j] * kd_[j], -binv[1][j] * kd_[j]]
+        for j in range(NL):      # d a / d q_m_j (spring sign flips)
+            link = mv(Minv, [dK_col[j][0], dK_col[j][1]])
+            mot = [-(binv[0][0] * dK_col[j][0] + binv[0][1] * dK_col[j][1]),
+                   -(binv[1][0] * dK_col[j][0] + binv[1][1] * dK_col[j][1])]
             cols.append(tuple(link + mot))
         for j in range(NL):      # d a / d v_l_j
             link = mv(Minv, [-dtau_dv[j][0], -dtau_dv[j][1]])
@@ -381,11 +435,12 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
             cols.append((zero, zero, zero, zero))
         for j in range(NL):      # d a / d tau_j
             cols.append((zero, zero, binv[0][j] * one, binv[1][j] * one))
-        for j in range(NL):      # d a / d k_j : da_l = Minv[:,j](q_m-q_l)_j, da_m = Binv[:,j](q_l-q_m)_j
-            d = q_l_[j] - q_m_[j]
-            link = [Minv[0][j] * (-d), Minv[1][j] * (-d)]
-            mot = [binv[0][j] * d, binv[1][j] * d]
-            cols.append(tuple(link + mot))
+        if is_vsa:
+            for j in range(NL):  # d a / d k_j
+                d = q_l_[j] - q_m_[j]
+                link = [Minv[0][j] * (-d), Minv[1][j] * (-d)]
+                mot = [binv[0][j] * d, binv[1][j] * d]
+                cols.append(tuple(link + mot))
 
     # -- costs ------------------------------------------------------------
     q_l = [x[0], x[1]]
@@ -397,7 +452,7 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
         for i in range(NDX):
             if spec.xw[i] != 0.0:
                 cost = cost + 0.5 * float(spec.xw[i]) * x[i] * x[i]
-        for i in range(NU):
+        for i in range(spec.nu):
             if spec.uw[i] != 0.0:
                 cost = cost + 0.5 * float(spec.uw[i]) * u[i] * u[i]
         if spec.stiff_w != 0.0:
@@ -431,7 +486,7 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
     Lx_ref[:] = jnp.stack(Lx_rows)
 
     Lu_rows = []
-    for j in range(NU):
+    for j in range(spec.nu):
         v = jnp.zeros_like(like)
         if not terminal:
             if spec.uw[j] != 0.0:
@@ -456,11 +511,11 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
         Lxx_rows.append(jnp.stack(row))
     Lxx_ref[:] = jnp.stack(Lxx_rows)
 
-    Lxu_ref[:] = jnp.zeros((NDX, NU, like.shape[0]), dtype=dtype)
+    Lxu_ref[:] = jnp.zeros((NDX, spec.nu, like.shape[0]), dtype=dtype)
     Luu_rows = []
-    for i in range(NU):
+    for i in range(spec.nu):
         row = []
-        for j2 in range(NU):
+        for j2 in range(spec.nu):
             v = jnp.zeros_like(like)
             if i == j2 and (not terminal) and spec.uw[i] != 0.0:
                 v = v + float(spec.uw[i])
@@ -472,7 +527,7 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
     if terminal:
         eyeN = jnp.eye(NDX, dtype=dtype)[:, :, None]
         Fx_ref[:] = jnp.broadcast_to(eyeN, (NDX, NDX, like.shape[0])).astype(dtype)
-        Fu_ref[:] = jnp.zeros((NDX, NU, like.shape[0]), dtype=dtype)
+        Fu_ref[:] = jnp.zeros((NDX, spec.nu, like.shape[0]), dtype=dtype)
         xnext_ref[:] = jnp.stack(x)
         return
 
@@ -501,7 +556,7 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
     Fu_rows = []
     for i in range(NDX):
         row = []
-        for j2 in range(NU):
+        for j2 in range(spec.nu):
             col = cols[NDX + j2]
             if i < nv:
                 v = col[i] * (dt * dt)
@@ -521,6 +576,7 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
 
 def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False):
     """Returns linearize(xs, us) -> (cost, run_diff tuple, term tuple, xnext)."""
+    NU = spec.nu
 
     def linearize_batched(xs, us):
         # xs [B, T+1, 8], us [B, T, 4]
@@ -632,10 +688,13 @@ class FastPath(NamedTuple):
     rollout: object     # per-scenario (xs, us, k, K, x0, alpha) -> (xs_try, us_try, cost)
 
 
-def build_fast_path(problem, bounds, nb: int = 128, interpret=None) -> FastPath:
-    """Build the fused VSA fast path for a CONCRETE problem (call outside
-    jit — robot/cost constants are baked into the kernels). Valid for the
-    DDP/BoxDDP (no-gaps) solver variants only."""
+def build_fast_path(problem, bounds, nb: int = 128, interpret=None,
+                    use_gaps: bool = False) -> FastPath:
+    """Build the fused fast path for a CONCRETE problem (call outside
+    jit — robot/cost constants are baked into the kernels). Covers the
+    BoxDDP/DDP variants (``use_gaps=False``) and the FDDP family
+    (``use_gaps=True``, gap-contracting rollouts) for the 2-DoF VSA and
+    SEA workloads."""
     import dataclasses as _dc
 
     from ..models.integrator import ActionDerivs
@@ -646,7 +705,7 @@ def build_fast_path(problem, bounds, nb: int = 128, interpret=None) -> FastPath:
     spec = extract_vsa_spec(problem, bounds)
     T = problem.T
     lin_b = build_linearize(spec, T, nb, interpret)
-    roll_b = build_rollout(spec, T, nb, interpret)
+    roll_b = build_rollout(spec, T, nb, interpret, use_gaps=use_gaps)
 
     @jax.custom_batching.custom_vmap
     def lin_cv(xs, us):
@@ -669,10 +728,9 @@ def build_fast_path(problem, bounds, nb: int = 128, interpret=None) -> FastPath:
         return out, jax.tree.map(lambda _: True, out)
 
     @jax.custom_batching.custom_vmap
-    def roll_cv(xs, us, k, K, x0, alpha):
+    def roll_cv(xs, us, k, K, x0, alpha, fs, infeas):
         p = _dc.replace(problem, x0=x0)
-        fs = jnp.zeros((T + 1, xs.shape[-1]), dtype=xs.dtype)
-        return _ddp._rollout(p, xs, us, k, K, fs, alpha, jnp.asarray(False), False, bounds)
+        return _ddp._rollout(p, xs, us, k, K, fs, alpha, infeas, use_gaps, bounds)
 
     @roll_cv.def_vmap
     def _roll_rule(axis_size, in_batched, *args):

@@ -42,9 +42,7 @@ def make_batched_solver(
     if use_fast_path:
         from ..pallas.vsa_kernels import build_fast_path
 
-        if use_gaps or bounds is None:
-            raise ValueError("fast path supports the BoxDDP (no-gaps) variant")
-        fast = build_fast_path(problem, bounds)
+        fast = build_fast_path(problem, bounds, use_gaps=use_gaps)
 
     def one(x0):
         p = dataclasses.replace(problem, x0=x0)

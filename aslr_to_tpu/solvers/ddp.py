@@ -111,6 +111,8 @@ class _Backward(NamedTuple):
     Vxx: jnp.ndarray     # [T+1, ndx, ndx]
     dg: jnp.ndarray      # sum Qu.k        (no gap terms)
     dq: jnp.ndarray      # -sum k'Quu k    (no gap terms)
+    dg_gap: jnp.ndarray  # -sum Vx.fs   (FDDP expected-improvement gap term)
+    dq_gap: jnp.ndarray  # +sum fs'Vxx fs
     stop: jnp.ndarray    # sum ||Qu||^2
     ok: jnp.ndarray
 
@@ -172,6 +174,71 @@ def _get_box_backward_core(qp_iters: int, interpret: bool):
     return core
 
 
+@functools.lru_cache(maxsize=None)
+def _get_fddp_backward_core(nu: int, interpret: bool):
+    """custom_vmap wrapper for the FDDP (unconstrained, gap-aware) backward:
+    unbatched -> XLA scan; vmapped -> fused Pallas kernel."""
+    from ..pallas.riccati import riccati_fddp_backward
+
+    @jax.custom_batching.custom_vmap
+    def core(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, reg):
+        return _fddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, reg)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
+
+        args = tuple(bc(a, b) for a, b in zip(args, in_batched))
+        out = riccati_fddp_backward(*args, nu=nu, interpret=interpret)
+        return tuple(out), tuple(True for _ in out)
+
+    return core
+
+
+def _fddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, reg):
+    """Single-scenario FDDP backward — the fused kernel's XLA reference and
+    unbatched fallback. Returns (k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok)."""
+    ndx = Fx.shape[-1]
+    dtype = Fx.dtype
+    nu = Fu.shape[-1]
+    eye_u = jnp.eye(nu, dtype=dtype)
+    eye_x = jnp.eye(ndx, dtype=dtype)
+
+    Vxx_T = tLxx + reg * eye_x
+    Vx_T = tLx + Vxx_T @ fs[-1]
+
+    def body(carry, inp):
+        Vx_n, Vxx_n = carry
+        fx, fu, lx, lu, lxx, lxu, luu, fs_t = inp
+        Qx = lx + fx.T @ Vx_n
+        Qu = lu + fu.T @ Vx_n
+        FxTVxx = fx.T @ Vxx_n
+        Qxx = lxx + FxTVxx @ fx
+        Qxu = lxu + FxTVxx @ fu
+        Quu = luu + fu.T @ Vxx_n @ fu + reg * eye_u
+        L = jnp.linalg.cholesky(Quu)
+        k = cho_solve((L, True), Qu)
+        K = cho_solve((L, True), Qxu.T)
+        ok = jnp.all(jnp.isfinite(L))
+        Quuk = Quu @ k
+        Vx = Qx + K.T @ Quuk - 2.0 * (K.T @ Qu)
+        Vxx = Qxx - Qxu @ K
+        Vxx = 0.5 * (Vxx + Vxx.T) + reg * eye_x
+        Vx = Vx + Vxx @ fs_t
+        return (Vx, Vxx), (k, K, Vxx, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu),
+                           -jnp.dot(Vx, fs_t), jnp.dot(fs_t, Vxx @ fs_t), ok)
+
+    (_, _), outs = jax.lax.scan(
+        body, (Vx_T, Vxx_T), (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs[:-1]), reverse=True)
+    k, K, Vxx_t, dg_t, dq_t, stop_t, dgg_t, dqg_t, ok_t = outs
+    Vxx_all = jnp.concatenate([Vxx_t, Vxx_T[None]], axis=0)
+    dg_gap = jnp.sum(dgg_t) - jnp.dot(Vx_T, fs[-1])
+    dq_gap = jnp.sum(dqg_t) + jnp.dot(fs[-1], Vxx_T @ fs[-1])
+    return (k, K, Vxx_all, jnp.sum(dg_t), jnp.sum(dq_t), jnp.sum(stop_t),
+            dg_gap, dq_gap, jnp.all(ok_t))
+
+
 def _box_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, us, lb, ub, reg, qp_iters):
     """Single-scenario Box backward (no gaps) — the Pallas kernel's XLA
     reference implementation and unbatched fallback."""
@@ -219,8 +286,20 @@ def _backward(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, setti
         ndx = problem.state.ndx
         zeros_Vx = jnp.zeros((T + 1, ndx), dtype=us.dtype)
         zeros_Vxx = jnp.zeros((T + 1, ndx, ndx), dtype=us.dtype)
+        zero = jnp.zeros_like(dg)
         return _Backward(k=k, K=K, Vx=zeros_Vx, Vxx=zeros_Vxx,
-                         dg=dg, dq=dq, stop=stop, ok=ok)
+                         dg=dg, dq=dq, dg_gap=zero, dq_gap=zero, stop=stop, ok=ok)
+    if (bounds is None) and use_gaps and settings.use_pallas_backward:
+        core = _get_fddp_backward_core(problem.nu, jax.default_backend() != "tpu")
+        k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok = core(
+            run_diff.Fx, run_diff.Fu, run_diff.Lx, run_diff.Lu,
+            run_diff.Lxx, run_diff.Lxu, run_diff.Luu,
+            term_diff.Lx, term_diff.Lxx, fs, jnp.asarray(reg, dtype=us.dtype))
+        T = us.shape[0]
+        ndx = problem.state.ndx
+        zeros_Vx = jnp.zeros((T + 1, ndx), dtype=us.dtype)
+        return _Backward(k=k, K=K, Vx=zeros_Vx, Vxx=Vxx_all,
+                         dg=dg, dq=dq, dg_gap=dg_gap, dq_gap=dq_gap, stop=stop, ok=ok)
     ndx = problem.state.ndx
     nu = problem.nu
     dtype = us.dtype
@@ -278,10 +357,16 @@ def _backward(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, setti
 
     Vx = jnp.concatenate([Vx_t, Vx_T[None]], axis=0)
     Vxx = jnp.concatenate([Vxx_t, Vxx_T[None]], axis=0)
+    if use_gaps:
+        dg_gap = -jnp.einsum("ti,ti->", Vx, fs)
+        dq_gap = jnp.einsum("ti,tij,tj->", fs, Vxx, fs)
+    else:
+        dg_gap = jnp.zeros((), dtype=dtype)
+        dq_gap = jnp.zeros((), dtype=dtype)
     return _Backward(
         k=k, K=K, Vx=Vx, Vxx=Vxx,
-        dg=jnp.sum(dg_t), dq=jnp.sum(dq_t), stop=jnp.sum(stop_t),
-        ok=jnp.all(ok_t),
+        dg=jnp.sum(dg_t), dq=jnp.sum(dq_t), dg_gap=dg_gap, dq_gap=dq_gap,
+        stop=jnp.sum(stop_t), ok=jnp.all(ok_t),
     )
 
 
@@ -394,10 +479,8 @@ def solve(
 
         # -- expected improvement model (gap-aware, FDDP) -----------------
         if use_gaps:
-            gap_dg = -jnp.einsum("ti,ti->", bw.Vx, fs)
-            gap_dq = jnp.einsum("ti,tij,tj->", fs, bw.Vxx, fs)
-            dg = bw.dg + infeasible_f * gap_dg
-            dq = bw.dq + infeasible_f * gap_dq
+            dg = bw.dg + infeasible_f * bw.dg_gap
+            dq = bw.dq + infeasible_f * bw.dq_gap
         else:
             dg, dq = bw.dg, bw.dq
 
@@ -409,7 +492,8 @@ def solve(
         # Crocoddyl's exact first-acceptable-alpha semantics.
         def try_alpha(alpha):
             if fast is not None:
-                xs_t, us_t, cost_t = fast.rollout(st.xs, st.us, bw.k, bw.K, problem.x0, alpha)
+                xs_t, us_t, cost_t = fast.rollout(
+                    st.xs, st.us, bw.k, bw.K, problem.x0, alpha, fs, ~feasible)
             else:
                 xs_t, us_t, cost_t = _rollout(
                     problem, st.xs, st.us, bw.k, bw.K, fs, alpha, ~feasible, use_gaps, bounds)

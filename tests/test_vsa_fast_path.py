@@ -83,3 +83,21 @@ def test_full_solve_fast_path_matches_reference():
     assert np.allclose(ref.cost, fast.cost, rtol=1e-8)
     assert np.allclose(ref.us, fast.us, atol=1e-8)
     assert np.all(np.asarray(ref.iterations) == np.asarray(fast.iterations))
+
+
+def test_sea_fddp_fast_path_matches_reference():
+    """FDDP (gap-aware) fast path on the SEA arm: fused backward + gap-
+    contracting rollout + SEA linearize kernels vs the XLA reference."""
+    from aslr_to_tpu.workloads.presets import two_dof_sea
+
+    w = two_dof_sea(T=12)
+    B = 4
+    x0s = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, 8))
+    ref = make_batched_solver(
+        w.problem, SolverSettings(maxiter=8, th_stop=1e-9), use_gaps=True)(x0s)
+    fast = make_batched_solver(
+        w.problem, SolverSettings(maxiter=8, th_stop=1e-9, use_pallas_backward=True),
+        use_gaps=True, use_fast_path=True)(x0s)
+    assert np.allclose(ref.cost, fast.cost, rtol=1e-8)
+    assert np.allclose(ref.us, fast.us, atol=1e-8)
+    assert np.all(np.asarray(ref.iterations) == np.asarray(fast.iterations))
