@@ -23,8 +23,13 @@ class WorkloadResult(NamedTuple):
     u_sq: jnp.ndarray         # per-channel control effort, SURVEY §5
 
 
-def solve_workload(w: Workload, settings: SolverSettings = None) -> SolveResult:
-    """Jit-compiled solve of one workload (warm start included)."""
+def solve_workload(w: Workload, settings: SolverSettings = None,
+                   use_fast_path: str = "auto") -> SolveResult:
+    """Jit-compiled solve of one workload (warm start included).
+
+    ``use_fast_path``: "auto" enables the fused Pallas kernels on TPU for
+    supported problems (2-DoF SEA/VSA); True/False force it.
+    """
     p = w.problem
     if settings is None:
         settings = SolverSettings(maxiter=w.maxiter, th_stop=w.th_stop)
@@ -32,14 +37,33 @@ def solve_workload(w: Workload, settings: SolverSettings = None) -> SolveResult:
     use_gaps = w.solver in ("fddp", "boxfddp")
     bounds = w.bounds if w.solver in ("boxddp", "boxfddp") else None
 
+    fast = None
+    if use_fast_path == "auto":
+        use_fast_path = jax.default_backend() == "tpu"
+    if use_fast_path:
+        try:
+            from ..pallas.vsa_kernels import build_fast_path
+            fast = build_fast_path(p, bounds, use_gaps=use_gaps)
+            settings = SolverSettings(**{**settings.__dict__, "use_pallas_backward": True})
+        except TypeError:
+            fast = None
+
     def _solve(problem):
         xs0 = jnp.broadcast_to(problem.x0, (p.T + 1,) + problem.x0.shape)
         if w.warm_start:
             us0 = problem.quasi_static(xs0[:-1])
         else:
             us0 = jnp.zeros((p.T, p.nu), dtype=problem.x0.dtype)
-        return solve(problem, xs0, us0, settings=settings, use_gaps=use_gaps, bounds=bounds)
+        return solve(problem, xs0, us0, settings=settings, use_gaps=use_gaps,
+                     bounds=bounds, fast=fast)
 
+    if fast is not None:
+        # the fused kernels dispatch through custom_vmap — run as a batch of 1
+        import dataclasses as _dc
+
+        batched = jax.jit(jax.vmap(lambda x0: _solve(_dc.replace(p, x0=x0))))
+        res = batched(p.x0[None])
+        return jax.tree.map(lambda a: a[0], res)
     return jax.jit(_solve)(p)
 
 
