@@ -57,12 +57,14 @@ def test_rollout_kernel_matches_generic():
     K = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (B, 10, 4, 8))
     x0 = 0.05 * jax.random.normal(jax.random.PRNGKey(4), (B, 8))
     alpha = jnp.array([1.0, 0.5, 0.25, 1.0])
-    xs_t, us_t, c_t = roll(xs, us, k, K, x0, alpha)
+    fs = jnp.zeros((B, 11, 8))
+    infeas = jnp.zeros(B, dtype=bool)
+    xs_t, us_t, c_t = roll(xs, us, k, K, x0, alpha, fs, infeas)
 
     def ref(xs1, us1, k1, K1, x01, a1):
         pp = dataclasses.replace(w.problem, x0=x01)
-        fs = jnp.zeros((11, 8))
-        return D._rollout(pp, xs1, us1, k1, K1, fs, a1, jnp.asarray(False), False, w.bounds)
+        fs1 = jnp.zeros((11, 8))
+        return D._rollout(pp, xs1, us1, k1, K1, fs1, a1, jnp.asarray(False), False, w.bounds)
 
     xs_r, us_r, c_r = jax.vmap(ref)(xs, us, k, K, x0, alpha)
     assert np.allclose(xs_t, xs_r, atol=1e-9)
