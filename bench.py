@@ -13,10 +13,19 @@ import os
 import sys
 import time
 
-BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
-MAXITER = int(os.environ.get("BENCH_MAXITER", "20"))
-T = int(os.environ.get("BENCH_T", "100"))
-REPS = int(os.environ.get("BENCH_REPS", "3"))
+def _env_int(name, default):
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        print(f"[bench] ignoring invalid {name}={os.environ.get(name)!r}; using {default}",
+              file=sys.stderr)
+        return int(default)
+
+
+BATCH = _env_int("BENCH_BATCH", "2048")
+MAXITER = _env_int("BENCH_MAXITER", "20")
+T = _env_int("BENCH_T", "100")
+REPS = _env_int("BENCH_REPS", "3")
 BASELINE_SOLVES_PER_S = 1000.0
 
 
@@ -90,4 +99,5 @@ if __name__ == "__main__":
         main()
     except BaseException as e:  # never crash the driver: report zero with the error
         _fail(f"{type(e).__name__}: {e}")
-        sys.exit(0)
+        sys.stdout.flush()
+        os._exit(0)  # skip teardown — a wedged PJRT client can hang atexit
