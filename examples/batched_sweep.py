@@ -7,6 +7,11 @@ The reference can only run one scenario per process (SURVEY §2.3).
 
 Usage: python examples/batched_sweep.py [batch] [T]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -2,6 +2,11 @@
 reference's ``examples/double_pendulum.py``: FDDP, T=10, dt=1e-2,
 underactuated (first joint motor only). Run with ``plot`` for figures.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

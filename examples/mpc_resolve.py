@@ -4,6 +4,11 @@ Solves the SEA reach task, saves the solution, then re-solves from a
 shifted state using the previous trajectory as a warm start — the
 receding-horizon pattern. Warm starts cut iterations substantially.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import tempfile
 
 import jax.numpy as jnp

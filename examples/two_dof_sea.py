@@ -3,6 +3,11 @@
 start, th_stop=1e-7. Prints initial/final EE placement and control effort
 like the reference (:82-93). Run with ``plot`` argv for figures.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 import jax

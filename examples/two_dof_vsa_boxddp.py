@@ -3,6 +3,11 @@
 K in [0,100]^2, cold start, maxiter=400. Exports .mat files like the
 reference (:125-127). Run with ``plot`` for figures.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 import jax.numpy as jnp

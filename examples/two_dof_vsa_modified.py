@@ -3,6 +3,11 @@ version of the reference's ``examples/two_dof_vsa_modified.py``: linear
 stiffness cost (lambda=10), stiffness lower bound 0.002, BoxDDP, T=200.
 Run with ``plot`` for figures.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 import jax.numpy as jnp
