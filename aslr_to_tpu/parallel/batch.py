@@ -43,6 +43,10 @@ def make_batched_solver(
         from ..pallas.vsa_kernels import build_fast_path
 
         fast = build_fast_path(problem, bounds, use_gaps=use_gaps)
+        if not settings.use_pallas_backward:
+            # the fused linearize/rollout kernels and the fused backward
+            # belong together — a scan backward would dominate the profile
+            settings = dataclasses.replace(settings, use_pallas_backward=True)
 
     def one(x0):
         p = dataclasses.replace(problem, x0=x0)
