@@ -94,6 +94,7 @@ def convergence_summary(result: SolveResult):
         converged_frac=float(jnp.mean(result.converged.astype(jnp.float32))),
         diverged_frac=float(jnp.mean(result.diverged.astype(jnp.float32))),
         mean_iterations=float(jnp.mean(result.iterations.astype(jnp.float32))),
-        mean_cost=float(jnp.mean(result.cost)),
+        median_cost=float(jnp.median(result.cost)),
+        p90_cost=float(jnp.percentile(result.cost, 90.0)),
         max_cost=float(jnp.max(result.cost)),
     )

@@ -33,7 +33,11 @@ def main():
     settings = SolverSettings(maxiter=20, th_stop=1e-5)
     on_tpu = jax.default_backend() == "tpu"
 
-    x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (B, w.problem.state.nx), dtype=dtype)
+    # perturb link/motor positions only — velocity noise on a stiff
+    # spring-coupled arm creates violent (physical) transients
+    nx = w.problem.state.nx
+    noise = 0.02 * jax.random.normal(jax.random.PRNGKey(0), (B, nx), dtype=dtype)
+    x0s = noise.at[:, 4:].set(0.0)
 
     n_dev = len(jax.devices())
     if n_dev > 1:
