@@ -462,12 +462,25 @@ def solve(
         feasible = gap_norm < s.th_gaptol
         infeasible_f = (~feasible).astype(dtype)
 
+        # A non-finite linearization (f32 overflow on an extreme-but-finite
+        # trajectory) can never yield a successful backward pass at ANY
+        # regularization — retrying would drive the batched retry loop to
+        # full escalation (Crocoddyl instead aborts the solve here).
+        lin_ok = jnp.isfinite(cost)
+        for leaf in jax.tree.leaves((run_diff, term_diff)):
+            lin_ok = lin_ok & jnp.all(jnp.isfinite(leaf))
+
         # -- backward pass with regularization-retry ----------------------
         bw0 = _backward(problem, run_diff, term_diff, fs, st.us, st.reg, use_gaps, bounds, s)
 
         def bw_cond(c):
+            # Gate on ~st.done: under an outer vmap a finished (e.g.
+            # diverged) scenario would otherwise keep driving the batched
+            # while_loop to the full 17-retry escalation every outer
+            # iteration — masked work its frozen state then discards.
+            # (Measured: 75% of bench device time before the gate.)
             reg, bw = c
-            return (~bw.ok) & (reg < s.reg_max)
+            return (~bw.ok) & (reg < s.reg_max) & (~st.done) & lin_ok
 
         def bw_body(c):
             reg, _ = c
@@ -508,7 +521,11 @@ def solve(
                 d1, d2 = dg, dq
             dV = cost - cost_t
             dVexp = alpha * (d1 + 0.5 * alpha * d2)
-            finite = jnp.isfinite(cost_t)
+            # Crocoddyl's forwardPass raises on non-finite states and treats
+            # the trial as failed; accepting a trajectory whose states
+            # overflowed (even with finite cost) would poison every later
+            # linearization with NaNs.
+            finite = jnp.isfinite(cost_t) & jnp.all(jnp.isfinite(xs_t))
             if use_gaps:
                 accept_pos = (dVexp >= 0.0) & ((d1 < s.th_grad) | (dV > s.th_acceptstep * dVexp))
                 accept_neg = (dVexp < 0.0) & (dV > s.th_acceptnegstep * dVexp)
@@ -536,7 +553,11 @@ def solve(
                 jnp.where(take, alpha, alpha_b),
             )
 
-        ls0 = (jnp.asarray(0, jnp.int32), jnp.asarray(False), st.xs, st.us, cost,
+        # Finished scenarios start "accepted" so they cannot force extra
+        # batched line-search trials (their updates are discarded anyway);
+        # likewise a failed backward pass yields no usable direction
+        # (Crocoddyl aborts the solve before the forward pass there).
+        ls0 = (jnp.asarray(0, jnp.int32), st.done | bw_failed, st.xs, st.us, cost,
                jnp.asarray(0.0, dtype=dtype))
         _, any_accept, xs_new, us_new, cost_new, alpha_sel = jax.lax.while_loop(
             ls_cond, ls_body, ls0)
