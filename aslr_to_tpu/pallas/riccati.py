@@ -178,7 +178,7 @@ def _riccati_box_kernel(T, qp_iters, add_reg_to_carry,
     ub = ub_ref[:]
 
     def body(i, carry):
-        dg, dq, stop = carry
+        dg, dq, stop, indef = carry
         t = T - 1 - i
         Fx = Fx_ref[t]                     # [8,8,NB]
         Fu = Fu_ref[t]                     # [8,4,NB]
@@ -211,19 +211,31 @@ def _riccati_box_kernel(T, qp_iters, add_reg_to_carry,
         k_ref[t] = k
         K_ref[t] = K
 
+        # Failure taxonomy for the retry schedule: a failure at a knot whose
+        # Quu was still finite is an indefinite/ill-conditioned factorization
+        # (more regularization can fix it); a failure whose Quu already
+        # overflowed is a doomed value recursion (more reg makes it worse).
+        quu_ok = jnp.all(jnp.isfinite(Quu), axis=(0, 1))
+        out_ok = (jnp.all(jnp.isfinite(k), axis=0)
+                  & jnp.all(jnp.isfinite(K), axis=(0, 1))
+                  & jnp.all(jnp.isfinite(Vx_new), axis=0)
+                  & jnp.all(jnp.isfinite(Vxx_new), axis=(0, 1)))
+        indef = jnp.maximum(indef, (quu_ok & ~out_ok).astype(dtype))
+
         dg = dg + jnp.sum(Qu * k, axis=0)
         dq = dq - jnp.sum(k * Quuk, axis=0)
         stop = stop + jnp.sum(Qu * Qu, axis=0)
-        return dg, dq, stop
+        return dg, dq, stop, indef
 
-    dg, dq, stop = jax.lax.fori_loop(0, T, body, (zeros, zeros, zeros))
+    dg, dq, stop, indef = jax.lax.fori_loop(0, T, body, (zeros, zeros, zeros, zeros))
     ok = (jnp.isfinite(dg) & jnp.isfinite(dq) & jnp.isfinite(stop)
           & jnp.all(jnp.isfinite(Vx_s[:]), axis=0)).astype(dtype)
     stats_ref[0] = dg
     stats_ref[1] = dq
     stats_ref[2] = stop
     stats_ref[3] = ok
-    for r in range(4, 8):
+    stats_ref[4] = indef
+    for r in range(5, 8):
         stats_ref[r] = zeros
     Vx_out_ref[:] = Vx_s[:]
     Vxx_out_ref[:] = Vxx_s[:]
@@ -262,7 +274,7 @@ def _riccati_fddp_kernel(T, nu, add_reg_to_carry,
         dq_gap0 = zeros
 
     def body(i, carry):
-        dg, dq, stop, dg_gap, dq_gap = carry
+        dg, dq, stop, dg_gap, dq_gap, indef = carry
         t = T - 1 - i
         Fx = Fx_ref[t]
         Fu = Fu_ref[t]
@@ -295,15 +307,23 @@ def _riccati_fddp_kernel(T, nu, add_reg_to_carry,
         K_ref[t] = K
         Vxx_all_ref[t] = Vxx_new
 
+        # retryable-failure detector (see the Box kernel for the taxonomy)
+        quu_ok = jnp.all(jnp.isfinite(Quu), axis=(0, 1))
+        out_ok = (jnp.all(jnp.isfinite(k), axis=0)
+                  & jnp.all(jnp.isfinite(K), axis=(0, 1))
+                  & jnp.all(jnp.isfinite(Vx_new), axis=0)
+                  & jnp.all(jnp.isfinite(Vxx_new), axis=(0, 1)))
+        indef = jnp.maximum(indef, (quu_ok & ~out_ok).astype(dtype))
+
         dg = dg + jnp.sum(Qu * k, axis=0)
         dq = dq - jnp.sum(k * Quuk, axis=0)
         stop = stop + jnp.sum(Qu * Qu, axis=0)
         dg_gap = dg_gap - jnp.sum(Vx_new * fs_t, axis=0)
         dq_gap = dq_gap + jnp.sum(fs_t * _matvec(Vxx_new, fs_t), axis=0)
-        return dg, dq, stop, dg_gap, dq_gap
+        return dg, dq, stop, dg_gap, dq_gap, indef
 
-    dg, dq, stop, dg_gap, dq_gap = jax.lax.fori_loop(
-        0, T, body, (zeros, zeros, zeros, dg_gap0, dq_gap0))
+    dg, dq, stop, dg_gap, dq_gap, indef = jax.lax.fori_loop(
+        0, T, body, (zeros, zeros, zeros, dg_gap0, dq_gap0, zeros))
     ok = (jnp.isfinite(dg) & jnp.isfinite(stop)
           & jnp.all(jnp.isfinite(Vx_s[:]), axis=0)).astype(dtype)
     stats_ref[0] = dg
@@ -312,7 +332,7 @@ def _riccati_fddp_kernel(T, nu, add_reg_to_carry,
     stats_ref[3] = ok
     stats_ref[4] = dg_gap
     stats_ref[5] = dq_gap
-    stats_ref[6] = zeros
+    stats_ref[6] = indef
     stats_ref[7] = zeros
     cVx_ref[:] = Vx_s[:]
     cVxx_ref[:] = Vxx_s[:]
@@ -328,6 +348,7 @@ class FddpBackwardOut(NamedTuple):
     dg_gap: jnp.ndarray
     dq_gap: jnp.ndarray
     ok: jnp.ndarray
+    retryable: jnp.ndarray  # failure was indefinite Quu (reg bump can help)
 
 
 def _fddp_chunk_call(Tc, nu, nb, interpret, add_reg, dtype, Bp, args):
@@ -421,6 +442,7 @@ def riccati_fddp_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
         dg=stats_acc[0, :B], dq=stats_acc[1, :B], stop=stats_acc[2, :B],
         dg_gap=stats_acc[4, :B], dq_gap=stats_acc[5, :B],
         ok=stats_acc[3, :B] > (n_chunks_f - 0.5),
+        retryable=stats_acc[6, :B] > 0.5,
     )
 
 
@@ -431,6 +453,7 @@ class BoxBackwardOut(NamedTuple):
     dq: jnp.ndarray     # [B]
     stop: jnp.ndarray   # [B]
     ok: jnp.ndarray     # [B] bool
+    retryable: jnp.ndarray  # [B] bool: failure was indefinite Quu
 
 
 def _pad_to(x, n, axis):
@@ -531,4 +554,5 @@ def riccati_box_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
     K = jnp.transpose(K_l, (3, 0, 1, 2))[:B]          # [B,T,4,8]
     dg, dq, stop = stats_acc[0, :B], stats_acc[1, :B], stats_acc[2, :B]
     ok = stats_acc[3, :B] > (float(n_chunks) - 0.5)   # every chunk finite
-    return BoxBackwardOut(k=k, K=K, dg=dg, dq=dq, stop=stop, ok=ok)
+    return BoxBackwardOut(k=k, K=K, dg=dg, dq=dq, stop=stop, ok=ok,
+                          retryable=stats_acc[4, :B] > 0.5)

@@ -73,6 +73,13 @@ class SolverSettings:
     n_alphas: int = 10
     boxqp_iters: int = 6
     boxqp_alphas: int = 5
+    # Max in-iteration backward retries (reg x10 bumps). Crocoddyl loops to
+    # reg_max inside one iteration; under vmap a single f32-doomed scenario
+    # would then drag the whole batch through the full escalation, so cap
+    # the per-iteration bumps — st.reg persists, and the step-based
+    # schedule keeps escalating on failed iterations, so reg still reaches
+    # reg_max (and flags divergence) after a few outer iterations.
+    bw_retry_cap: int = 3
     # Route the Box backward pass through the fused Pallas Riccati kernel
     # (aslr_to_tpu/pallas/riccati.py) when the solve is vmapped. Identical
     # math; one kernel launch instead of ~T x 500 HLO dispatches.
@@ -115,6 +122,9 @@ class _Backward(NamedTuple):
     dq_gap: jnp.ndarray  # +sum fs'Vxx fs
     stop: jnp.ndarray    # sum ||Qu||^2
     ok: jnp.ndarray
+    retryable: jnp.ndarray  # failure was an indefinite factorization (a reg
+                            # bump can help) vs an f32 value-recursion
+                            # overflow (more reg only weakens feedback)
 
 
 class _LoopState(NamedTuple):
@@ -198,7 +208,8 @@ def _get_fddp_backward_core(nu: int, interpret: bool):
 
 def _fddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, reg):
     """Single-scenario FDDP backward — the fused kernel's XLA reference and
-    unbatched fallback. Returns (k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok)."""
+    unbatched fallback. Returns
+    (k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable)."""
     ndx = Fx.shape[-1]
     dtype = Fx.dtype
     nu = Fu.shape[-1]
@@ -226,17 +237,20 @@ def _fddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, reg):
         Vxx = Qxx - Qxu @ K
         Vxx = 0.5 * (Vxx + Vxx.T) + reg * eye_x
         Vx = Vx + Vxx @ fs_t
+        out_ok = (jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
+                  & jnp.all(jnp.isfinite(Vx)) & jnp.all(jnp.isfinite(Vxx)))
+        indef = jnp.all(jnp.isfinite(Quu)) & ~out_ok
         return (Vx, Vxx), (k, K, Vxx, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu),
-                           -jnp.dot(Vx, fs_t), jnp.dot(fs_t, Vxx @ fs_t), ok)
+                           -jnp.dot(Vx, fs_t), jnp.dot(fs_t, Vxx @ fs_t), ok, indef)
 
     (_, _), outs = jax.lax.scan(
         body, (Vx_T, Vxx_T), (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs[:-1]), reverse=True)
-    k, K, Vxx_t, dg_t, dq_t, stop_t, dgg_t, dqg_t, ok_t = outs
+    k, K, Vxx_t, dg_t, dq_t, stop_t, dgg_t, dqg_t, ok_t, indef_t = outs
     Vxx_all = jnp.concatenate([Vxx_t, Vxx_T[None]], axis=0)
     dg_gap = jnp.sum(dgg_t) - jnp.dot(Vx_T, fs[-1])
     dq_gap = jnp.sum(dqg_t) + jnp.dot(fs[-1], Vxx_T @ fs[-1])
     return (k, K, Vxx_all, jnp.sum(dg_t), jnp.sum(dq_t), jnp.sum(stop_t),
-            dg_gap, dq_gap, jnp.all(ok_t))
+            dg_gap, dq_gap, jnp.all(ok_t), jnp.any(indef_t))
 
 
 def _box_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, us, lb, ub, reg, qp_iters):
@@ -265,19 +279,22 @@ def _box_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, us, lb, ub, reg
         Vxx = Qxx - Qxu @ K
         Vxx = 0.5 * (Vxx + Vxx.T) + reg * eye_x
         ok = jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
-        return (Vx, Vxx), (k, K, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu), ok)
+        out_ok = ok & jnp.all(jnp.isfinite(Vx)) & jnp.all(jnp.isfinite(Vxx))
+        indef = jnp.all(jnp.isfinite(Quu)) & ~out_ok
+        return (Vx, Vxx), (k, K, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu), ok, indef)
 
     (_, _), outs = jax.lax.scan(
         body, (tLx, tLxx + reg * eye_x), (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, us), reverse=True)
-    k, K, dg_t, dq_t, stop_t, ok_t = outs
-    return (k, K, jnp.sum(dg_t), jnp.sum(dq_t), jnp.sum(stop_t), jnp.all(ok_t))
+    k, K, dg_t, dq_t, stop_t, ok_t, indef_t = outs
+    return (k, K, jnp.sum(dg_t), jnp.sum(dq_t), jnp.sum(stop_t), jnp.all(ok_t),
+            jnp.any(indef_t))
 
 
 def _backward(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, settings):
     """Riccati sweep, Crocoddyl-faithful (see module docstring)."""
     if (bounds is not None) and (not use_gaps) and settings.use_pallas_backward:
         core = _get_box_backward_core(settings.boxqp_iters, jax.default_backend() != "tpu")
-        k, K, dg, dq, stop, ok = core(
+        k, K, dg, dq, stop, ok, retryable = core(
             run_diff.Fx, run_diff.Fu, run_diff.Lx, run_diff.Lu,
             run_diff.Lxx, run_diff.Lxu, run_diff.Luu,
             term_diff.Lx, term_diff.Lxx, us, bounds.lb, bounds.ub,
@@ -288,10 +305,11 @@ def _backward(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, setti
         zeros_Vxx = jnp.zeros((T + 1, ndx, ndx), dtype=us.dtype)
         zero = jnp.zeros_like(dg)
         return _Backward(k=k, K=K, Vx=zeros_Vx, Vxx=zeros_Vxx,
-                         dg=dg, dq=dq, dg_gap=zero, dq_gap=zero, stop=stop, ok=ok)
+                         dg=dg, dq=dq, dg_gap=zero, dq_gap=zero, stop=stop, ok=ok,
+                         retryable=retryable)
     if (bounds is None) and use_gaps and settings.use_pallas_backward:
         core = _get_fddp_backward_core(problem.nu, jax.default_backend() != "tpu")
-        k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok = core(
+        k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable = core(
             run_diff.Fx, run_diff.Fu, run_diff.Lx, run_diff.Lu,
             run_diff.Lxx, run_diff.Lxu, run_diff.Luu,
             term_diff.Lx, term_diff.Lxx, fs, jnp.asarray(reg, dtype=us.dtype))
@@ -299,7 +317,8 @@ def _backward(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, setti
         ndx = problem.state.ndx
         zeros_Vx = jnp.zeros((T + 1, ndx), dtype=us.dtype)
         return _Backward(k=k, K=K, Vx=zeros_Vx, Vxx=Vxx_all,
-                         dg=dg, dq=dq, dg_gap=dg_gap, dq_gap=dq_gap, stop=stop, ok=ok)
+                         dg=dg, dq=dq, dg_gap=dg_gap, dq_gap=dq_gap, stop=stop, ok=ok,
+                         retryable=retryable)
     ndx = problem.state.ndx
     nu = problem.nu
     dtype = us.dtype
@@ -348,12 +367,15 @@ def _backward(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, setti
         if use_gaps:
             Vx = Vx + Vxx @ fs_t
 
-        out = (k, K, Vx, Vxx, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu), ok)
+        out_ok = (jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
+                  & jnp.all(jnp.isfinite(Vx)) & jnp.all(jnp.isfinite(Vxx)))
+        indef = jnp.all(jnp.isfinite(Quu)) & ~out_ok
+        out = (k, K, Vx, Vxx, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu), ok, indef)
         return (Vx, Vxx), out
 
     (_, _), outs = jax.lax.scan(
         body, (Vx_T, Vxx_T), (run_diff, fs[:-1], us), reverse=True)
-    k, K, Vx_t, Vxx_t, dg_t, dq_t, stop_t, ok_t = outs
+    k, K, Vx_t, Vxx_t, dg_t, dq_t, stop_t, ok_t, indef_t = outs
 
     Vx = jnp.concatenate([Vx_t, Vx_T[None]], axis=0)
     Vxx = jnp.concatenate([Vxx_t, Vxx_T[None]], axis=0)
@@ -366,7 +388,7 @@ def _backward(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, setti
     return _Backward(
         k=k, K=K, Vx=Vx, Vxx=Vxx,
         dg=jnp.sum(dg_t), dq=jnp.sum(dq_t), dg_gap=dg_gap, dq_gap=dq_gap,
-        stop=jnp.sum(stop_t), ok=jnp.all(ok_t),
+        stop=jnp.sum(stop_t), ok=jnp.all(ok_t), retryable=jnp.any(indef_t),
     )
 
 
@@ -474,20 +496,25 @@ def solve(
         bw0 = _backward(problem, run_diff, term_diff, fs, st.us, st.reg, use_gaps, bounds, s)
 
         def bw_cond(c):
-            # Gate on ~st.done: under an outer vmap a finished (e.g.
-            # diverged) scenario would otherwise keep driving the batched
-            # while_loop to the full 17-retry escalation every outer
-            # iteration — masked work its frozen state then discards.
-            # (Measured: 75% of bench device time before the gate.)
-            reg, bw = c
-            return (~bw.ok) & (reg < s.reg_max) & (~st.done) & lin_ok
+            # Gates keep one bad scenario from dragging the whole vmapped
+            # batch through reg escalation (measured: 75% of bench device
+            # time): finished scenarios and non-finite linearizations never
+            # retry, non-retryable failures (f32 value-recursion overflow)
+            # never retry, and in-iteration bumps are capped (st.reg
+            # persists, so escalation continues across iterations).
+            reg, bw, tries = c
+            return ((~bw.ok) & bw.retryable & (reg < s.reg_max)
+                    & (tries < s.bw_retry_cap) & (~st.done) & lin_ok)
 
         def bw_body(c):
-            reg, _ = c
+            reg, _, tries = c
             reg2 = jnp.minimum(reg * s.reg_factor, s.reg_max)
-            return reg2, _backward(problem, run_diff, term_diff, fs, st.us, reg2, use_gaps, bounds, s)
+            return (reg2,
+                    _backward(problem, run_diff, term_diff, fs, st.us, reg2, use_gaps, bounds, s),
+                    tries + 1)
 
-        reg, bw = jax.lax.while_loop(bw_cond, bw_body, (st.reg, bw0))
+        reg, bw, _ = jax.lax.while_loop(
+            bw_cond, bw_body, (st.reg, bw0, jnp.asarray(0, jnp.int32)))
         bw_failed = ~bw.ok
 
         # -- expected improvement model (gap-aware, FDDP) -----------------
@@ -569,7 +596,13 @@ def solve(
         do_inc = eff_step <= s.th_stepinc
         do_dec = (~do_inc) & (eff_step > s.th_stepdec)
         reg_new = jnp.where(do_inc, reg_inc, jnp.where(do_dec, reg_dec, reg))
-        diverged = bw_failed | (do_inc & (reg_new >= s.reg_max))
+        # A capped-out backward retry is only fatal once reg can no longer
+        # grow; otherwise the escalated st.reg carries into the next
+        # iteration and the backward gets another chance. A non-finite
+        # linearization is fatal immediately (Crocoddyl aborts there).
+        diverged = ((bw_failed & (reg >= s.reg_max))
+                    | (do_inc & (reg_new >= s.reg_max))
+                    | ~lin_ok)
 
         converged = feasible & (bw.stop < s.th_stop)
 

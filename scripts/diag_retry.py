@@ -14,11 +14,12 @@ from aslr_to_tpu.solvers.ddp import SolverSettings
 from aslr_to_tpu.workloads.presets import two_dof_vsa_boxddp
 
 BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
+USE_FAST = os.environ.get("USE_FAST", "1") == "1"
 dtype = jnp.float32
 w = two_dof_vsa_boxddp(T=100, dtype=dtype)
-settings = SolverSettings(maxiter=20, th_stop=1e-5, use_pallas_backward=True)
+settings = SolverSettings(maxiter=20, th_stop=1e-5, use_pallas_backward=USE_FAST)
 fn = make_batched_solver(w.problem, settings, use_gaps=False, bounds=w.bounds,
-                         use_fast_path=True, keep_log=True)
+                         use_fast_path=USE_FAST, keep_log=True)
 x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (BATCH, w.problem.state.nx), dtype=dtype)
 out = fn(x0s)
 jax.block_until_ready(out.cost)
