@@ -39,11 +39,11 @@ def solve_workload(w: Workload, settings: SolverSettings = None,
 
     fast = None
     if use_fast_path == "auto":
-        # default to the fused kernels only for the no-gaps (BoxDDP) VSA
-        # workloads — the FDDP kernel set works (opt in with True) but its
-        # Mosaic compile is currently ~10x slower, a poor default for a
-        # single interactive solve.
-        use_fast_path = (jax.default_backend() == "tpu") and not use_gaps
+        # fused kernels for every supported problem shape on TPU — the
+        # FDDP kernel set now compiles in ~30s like the BoxDDP set
+        # (measured via scripts/diag_fddp_solve.py; the round-1 ~547s
+        # compile no longer reproduces after the solver-loop rework)
+        use_fast_path = jax.default_backend() == "tpu"
     if use_fast_path:
         try:
             from ..pallas.vsa_kernels import build_fast_path
