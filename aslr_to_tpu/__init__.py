@@ -46,6 +46,7 @@ from .solvers.ddp import (
     SolverSettings,
     solve,
 )
+from .solvers.homotopy import homotopy_solve, scale_terminal_costs
 
 # Reference-compatible aliases (names from python/aslr_to/__init__.py:1-9).
 StateMultibodyASR = StateASR

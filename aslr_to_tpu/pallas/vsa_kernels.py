@@ -221,7 +221,7 @@ def _running_cost_lanes(spec: VSASpec, x, u):
 
 def _rollout_kernel(spec: VSASpec, T: int, use_gaps: bool,
                     xs_ref, us_ref, k_ref, K_ref, x0_ref, alpha_ref,
-                    fs_ref, infeas_ref,
+                    fs_ref, infeas_ref, wterm_ref,
                     xs_out, us_out, cost_ref, x_s):
     dtype = xs_ref.dtype
     alpha = alpha_ref[0]
@@ -274,7 +274,8 @@ def _rollout_kernel(spec: VSASpec, T: int, use_gaps: bool,
     cost = jax.lax.fori_loop(0, T, body, jnp.zeros_like(alpha))
     xT = [x_s[i] for i in range(NDX)]
     c_goal_T, _ = _goal_cost_lanes(spec, [xT[0], xT[1]])
-    cost = cost + spec.w_goal_term * c_goal_T
+    # terminal goal weight is a runtime lane input (homotopy ramps it)
+    cost = cost + wterm_ref[0] * c_goal_T
     cost_ref[0] = cost
     for r in range(1, 8):
         cost_ref[r] = jnp.zeros_like(cost)
@@ -288,10 +289,14 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
     zeros for the DDP variants)."""
     nu = spec.nu
 
-    def rollout_batched(xs, us, k, K, x0, alpha, fs, infeas):
+    def rollout_batched(xs, us, k, K, x0, alpha, fs, infeas, wterm=None):
         B = xs.shape[0]
         dtype = xs.dtype
         Bp = ((B + nb - 1) // nb) * nb
+        if wterm is None:
+            wterm = jnp.full((B,), spec.w_goal_term, dtype)
+        else:
+            wterm = jnp.broadcast_to(jnp.asarray(wterm, dtype), (B,))
 
         def to_lanes(x):
             pad = Bp - B
@@ -303,6 +308,7 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
         us_l, k_l, K_l, x0_l, fs_l = map(to_lanes, (us, k, K, x0, fs))
         alpha_l = jnp.concatenate([alpha, jnp.zeros(Bp - B, dtype)])[None, :]
         infeas_l = jnp.concatenate([infeas.astype(dtype), jnp.zeros(Bp - B, dtype)])[None, :]
+        wterm_l = jnp.concatenate([wterm, jnp.zeros(Bp - B, dtype)])[None, :]
 
         grid = (Bp // nb,)
 
@@ -316,7 +322,7 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
             kern,
             grid=grid,
             in_specs=[spec_nd(T, NDX), spec_nd(T, nu), spec_nd(T, nu), spec_nd(T, nu, NDX),
-                      spec_nd(NDX), spec_nd(1), spec_nd(T + 1, NDX), spec_nd(1)],
+                      spec_nd(NDX), spec_nd(1), spec_nd(T + 1, NDX), spec_nd(1), spec_nd(1)],
             out_specs=[spec_nd(T + 1, NDX), spec_nd(T, nu), spec_nd(8)],
             out_shape=[
                 jax.ShapeDtypeStruct((T + 1, NDX, Bp), dtype),
@@ -325,7 +331,7 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
             ],
             scratch_shapes=[pltpu.VMEM((NDX, nb), dtype)],
             interpret=interpret,
-        )(xs_l, us_l, k_l, K_l, x0_l, alpha_l, fs_l, infeas_l)
+        )(xs_l, us_l, k_l, K_l, x0_l, alpha_l, fs_l, infeas_l, wterm_l)
 
         xs_try = jnp.transpose(xs_o, (2, 0, 1))[:B]
         us_try = jnp.transpose(us_o, (2, 0, 1))[:B]
@@ -340,7 +346,7 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
 # ---------------------------------------------------------------------------
 
 def _linearize_kernel(spec: VSASpec, terminal: bool,
-                      x_ref, u_ref,
+                      x_ref, u_ref, wterm_ref,
                       Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
                       xnext_ref, cost_ref):
     """One knot (grid dims: t, batch-tile): analytic VSA linearization.
@@ -445,7 +451,9 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
     # -- costs ------------------------------------------------------------
     q_l = [x[0], x[1]]
     c_goal, r6 = _goal_cost_lanes(spec, q_l)
-    w_goal = spec.w_goal_term if terminal else spec.w_goal
+    # the terminal goal weight is a runtime lane input (homotopy ramps it);
+    # the running weight stays a baked constant
+    w_goal = wterm_ref[0] if terminal else spec.w_goal
 
     cost = w_goal * c_goal
     if not terminal:
@@ -578,11 +586,16 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
     """Returns linearize(xs, us) -> (cost, run_diff tuple, term tuple, xnext)."""
     NU = spec.nu
 
-    def linearize_batched(xs, us):
+    def linearize_batched(xs, us, wterm=None):
         # xs [B, T+1, 8], us [B, T, 4]
         B = xs.shape[0]
         dtype = xs.dtype
         Bp = ((B + nb - 1) // nb) * nb
+        if wterm is None:
+            wterm = jnp.full((B,), spec.w_goal_term, dtype)
+        else:
+            wterm = jnp.broadcast_to(jnp.asarray(wterm, dtype), (B,))
+        wterm_l = jnp.concatenate([wterm, jnp.zeros(Bp - B, dtype)])[None, :]
 
         def to_lanes(x):
             pad = Bp - B
@@ -605,11 +618,14 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
             n = len(block)
             return pl.BlockSpec(block, lambda t, b: (t,) + (0,) * (n - 2) + (b,), memory_space=pltpu.VMEM)
 
+        # batch-only input (terminal weight): same block for every knot
+        wterm_spec = pl.BlockSpec((1, nb), lambda t, b: (0, b), memory_space=pltpu.VMEM)
+
         def run_kernel(spec_, terminal):
-            def kern(x_ref, u_ref, Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref, xnext_ref, cost_ref):
+            def kern(x_ref, u_ref, wterm_ref, Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref, xnext_ref, cost_ref):
                 _linearize_kernel(
                     spec_, terminal,
-                    x_ref.at[0], u_ref.at[0],
+                    x_ref.at[0], u_ref.at[0], wterm_ref,
                     Fx_ref.at[0], Fu_ref.at[0], Lx_ref.at[0], Lu_ref.at[0],
                     Lxx_ref.at[0], Lxu_ref.at[0], Luu_ref.at[0],
                     xnext_ref.at[0], cost_ref.at[0])
@@ -618,7 +634,7 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
         outs = pl.pallas_call(
             run_kernel(spec, False),
             grid=grid,
-            in_specs=[in_spec(NDX), in_spec(NU)],
+            in_specs=[in_spec(NDX), in_spec(NU), wterm_spec],
             out_specs=[out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NDX), out_spec(NU),
                        out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NU, NU),
                        out_spec(NDX), out_spec(8)],
@@ -634,14 +650,14 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
                 jax.ShapeDtypeStruct((T, 8, Bp), dtype),
             ],
             interpret=interpret,
-        )(xs_l[:T], us_l)
+        )(xs_l[:T], us_l, wterm_l)
         Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, xnext, costs = outs
 
         # terminal knot: single-knot grid
         term_outs = pl.pallas_call(
             run_kernel(spec, True),
             grid=(1, Bp // nb),
-            in_specs=[in_spec(NDX), in_spec(NU)],
+            in_specs=[in_spec(NDX), in_spec(NU), wterm_spec],
             out_specs=[out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NDX), out_spec(NU),
                        out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NU, NU),
                        out_spec(NDX), out_spec(8)],
@@ -657,7 +673,7 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
                 jax.ShapeDtypeStruct((1, 8, Bp), dtype),
             ],
             interpret=interpret,
-        )(xs_l[T:T + 1], us_l[:1] * 0.0)
+        )(xs_l[T:T + 1], us_l[:1] * 0.0, wterm_l)
         tFx, tFu, tLx, tLu, tLxx, tLxu, tLuu, _, tcost = term_outs
 
         def back(x, lead):
@@ -684,8 +700,9 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
 # ---------------------------------------------------------------------------
 
 class FastPath(NamedTuple):
-    linearize: object   # per-scenario (xs, us) -> (cost, run ActionDerivs, term ActionDerivs, xnext)
-    rollout: object     # per-scenario (xs, us, k, K, x0, alpha) -> (xs_try, us_try, cost)
+    linearize: object   # per-scenario (xs, us, wterm) -> (cost, run ActionDerivs, term ActionDerivs, xnext)
+    rollout: object     # per-scenario (xs, us, k, K, x0, alpha, fs, infeas, wterm) -> (xs_try, us_try, cost)
+    wterm_of: object    # problem -> runtime terminal goal weight (pytree leaf)
 
 
 def build_fast_path(problem, bounds, nb: int = 128, interpret=None,
@@ -707,19 +724,36 @@ def build_fast_path(problem, bounds, nb: int = 128, interpret=None,
     lin_b = build_linearize(spec, T, nb, interpret)
     roll_b = build_rollout(spec, T, nb, interpret, use_gaps=use_gaps)
 
+    # runtime terminal weight: the kernels take it as a lane input; the
+    # unbatched XLA fallback rescales the problem's terminal cost weights
+    # (pytree leaves) by wterm / baked total.
+    base_wterm = float(spec.w_goal_term)
+
+    def _scaled_problem(wterm):
+        from ..solvers.homotopy import scale_terminal_costs
+
+        return scale_terminal_costs(problem, wterm / base_wterm)
+
+    def wterm_of(prob):
+        w = None
+        for it in prob.terminal.differential.costs.items:
+            w = it.weight if w is None else w + it.weight
+        return w
+
     @jax.custom_batching.custom_vmap
-    def lin_cv(xs, us):
-        cost, run_diff, term_diff, xnext = _ddp._linearize_core(problem, xs, us)
+    def lin_cv(xs, us, wterm):
+        cost, run_diff, term_diff, xnext = _ddp._linearize_core(_scaled_problem(wterm), xs, us)
         return cost, run_diff, term_diff, xnext
 
     def _bc(x, b, axis_size):
         return x if b else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
 
     @lin_cv.def_vmap
-    def _lin_rule(axis_size, in_batched, xs, us):
+    def _lin_rule(axis_size, in_batched, xs, us, wterm):
         xs = _bc(xs, in_batched[0], axis_size)
         us = _bc(us, in_batched[1], axis_size)
-        cost, run, term, xnext = lin_b(xs, us)
+        wterm = _bc(wterm, in_batched[2], axis_size)
+        cost, run, term, xnext = lin_b(xs, us, wterm)
         run_d = ActionDerivs(**run)
         term_d = ActionDerivs(
             Fx=term["Fx"], Fu=term["Fu"], Lx=term["Lx"], Lu=term["Lu"],
@@ -728,8 +762,8 @@ def build_fast_path(problem, bounds, nb: int = 128, interpret=None,
         return out, jax.tree.map(lambda _: True, out)
 
     @jax.custom_batching.custom_vmap
-    def roll_cv(xs, us, k, K, x0, alpha, fs, infeas):
-        p = _dc.replace(problem, x0=x0)
+    def roll_cv(xs, us, k, K, x0, alpha, fs, infeas, wterm):
+        p = _dc.replace(_scaled_problem(wterm), x0=x0)
         return _ddp._rollout(p, xs, us, k, K, fs, alpha, infeas, use_gaps, bounds)
 
     @roll_cv.def_vmap
@@ -738,4 +772,4 @@ def build_fast_path(problem, bounds, nb: int = 128, interpret=None,
         out = roll_b(*args)
         return out, jax.tree.map(lambda _: True, out)
 
-    return FastPath(linearize=lin_cv, rollout=roll_cv)
+    return FastPath(linearize=lin_cv, rollout=roll_cv, wterm_of=wterm_of)

@@ -484,9 +484,13 @@ def _solve_impl(problem, xs_init, us_init, settings, use_gaps, bounds, fast) -> 
     def cond(st: _LoopState):
         return ~st.done
 
+    # runtime terminal goal weight for the fused kernels (a pytree leaf of
+    # problem, so homotopy stages share one compiled program)
+    fast_wterm = fast.wterm_of(problem) if fast is not None else None
+
     def body(st: _LoopState):
         if fast is not None:
-            cost, run_diff, term_diff, xnext = fast.linearize(st.xs, st.us)
+            cost, run_diff, term_diff, xnext = fast.linearize(st.xs, st.us, fast_wterm)
         else:
             cost, run_diff, term_diff, xnext = _linearize_core(problem, st.xs, st.us)
         fs = _gaps(problem, st.xs, xnext)
@@ -543,7 +547,8 @@ def _solve_impl(problem, xs_init, us_init, settings, use_gaps, bounds, fast) -> 
         def try_alpha(alpha):
             if fast is not None:
                 xs_t, us_t, cost_t = fast.rollout(
-                    st.xs, st.us, bw.k, bw.K, problem.x0, alpha, fs, ~feasible)
+                    st.xs, st.us, bw.k, bw.K, problem.x0, alpha, fs, ~feasible,
+                    fast_wterm)
             else:
                 xs_t, us_t, cost_t = _rollout(
                     problem, st.xs, st.us, bw.k, bw.K, fs, alpha, ~feasible, use_gaps, bounds)

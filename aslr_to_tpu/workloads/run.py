@@ -24,15 +24,25 @@ class WorkloadResult(NamedTuple):
 
 
 def solve_workload(w: Workload, settings: SolverSettings = None,
-                   use_fast_path: str = "auto") -> SolveResult:
+                   use_fast_path: str = "auto",
+                   globalization: str = None) -> SolveResult:
     """Jit-compiled solve of one workload (warm start included).
 
     ``use_fast_path``: "auto" enables the fused Pallas kernels on TPU for
     supported problems (2-DoF SEA/VSA); True/False force it.
+    ``globalization``: "homotopy" ramps the terminal goal weight
+    geometrically with warm-started stages (fixes the cold-start stall of
+    the VSA BoxDDP workloads — see solvers/homotopy.py); the per-stage
+    budget is ``maxiter // n_stages`` so the total budget is unchanged.
     """
+    from ..solvers.homotopy import DEFAULT_SCALES, homotopy_solve
+
     p = w.problem
     if settings is None:
-        settings = SolverSettings(maxiter=w.maxiter, th_stop=w.th_stop)
+        maxiter = w.maxiter
+        if globalization == "homotopy":
+            maxiter = max(1, maxiter // len(DEFAULT_SCALES))
+        settings = SolverSettings(maxiter=maxiter, th_stop=w.th_stop)
 
     use_gaps = w.solver in ("fddp", "boxfddp")
     bounds = w.bounds if w.solver in ("boxddp", "boxfddp") else None
@@ -58,6 +68,9 @@ def solve_workload(w: Workload, settings: SolverSettings = None,
             us0 = problem.quasi_static(xs0[:-1])
         else:
             us0 = jnp.zeros((p.T, p.nu), dtype=problem.x0.dtype)
+        if globalization == "homotopy":
+            return homotopy_solve(problem, xs0, us0, settings=settings,
+                                  use_gaps=use_gaps, bounds=bounds, fast=fast)
         return solve(problem, xs0, us0, settings=settings, use_gaps=use_gaps,
                      bounds=bounds, fast=fast)
 
@@ -71,9 +84,10 @@ def solve_workload(w: Workload, settings: SolverSettings = None,
     return jax.jit(_solve)(p)
 
 
-def run_workload(name_or_workload, settings: SolverSettings = None, **kwargs) -> WorkloadResult:
+def run_workload(name_or_workload, settings: SolverSettings = None,
+                 globalization: str = None, **kwargs) -> WorkloadResult:
     w = PRESETS[name_or_workload](**kwargs) if isinstance(name_or_workload, str) else name_or_workload
-    res = solve_workload(w, settings)
+    res = solve_workload(w, settings, globalization=globalization)
     if w.ee_frame is not None:
         q_l = res.xs[-1][: w.problem.state.nl]
         ee = rbd.frame_placement(w.problem.state.robot, q_l, w.ee_frame).trans

@@ -18,10 +18,14 @@ from aslr_to_tpu.utils.metrics import u_squared
 from aslr_to_tpu.workloads.run import run_workload
 
 WITHPLOT = "plot" in sys.argv
+# "homotopy": ramp the terminal goal weight with warm-started stages —
+# same iteration budget, much better local solution on this cold-started
+# workload (the reference's own BoxDDP stalls here; see solvers/homotopy.py)
+GLOBALIZATION = "homotopy" if "homotopy" in sys.argv else None
 
 
 def main():
-    out = run_workload("two_dof_vsa_boxddp")
+    out = run_workload("two_dof_vsa_boxddp", globalization=GLOBALIZATION)
     res = out.result
     print("Finally reached = ", np.asarray(out.ee_final))
     print("iterations:", int(res.iterations), "cost:", float(res.cost))

@@ -55,7 +55,8 @@ if True:
         return _ddp._linearize_core(pp, xs1, us1)
 
     cost_r, run_r, term_r, xnext_r = jax.vmap(ref_lin)(xs[:, 0], xs, us)
-    cost_f, run_f, term_f, xnext_f = jax.vmap(lambda a, b: fast.linearize(a, b))(xs, us)
+    wterm = jnp.full((B,), fast.wterm_of(p), dtype=dtype)
+    cost_f, run_f, term_f, xnext_f = jax.vmap(fast.linearize)(xs, us, wterm)
 
     print(f"\n== linearize {dtype.__name__} ==")
     print("cost", relerr(cost_f, cost_r), " xnext", relerr(xnext_f, xnext_r))
@@ -75,5 +76,5 @@ if True:
         return _ddp._rollout(pp, xs1, us1, k1, K1, fs[0], a1, jnp.asarray(False), False, w.bounds)
 
     xs_r, us_r, c_r = jax.vmap(ref_roll)(xs[:, 0], xs, us, k, K, alpha)
-    xs_f, us_f, c_f = jax.vmap(lambda *a: fast.rollout(*a))(xs, us, k, K, xs[:, 0], alpha, fs, infeas)
+    xs_f, us_f, c_f = jax.vmap(fast.rollout)(xs, us, k, K, xs[:, 0], alpha, fs, infeas, wterm)
     print("rollout xs", relerr(xs_f, xs_r), " us", relerr(us_f, us_r), " cost", relerr(c_f, c_r))

@@ -1,0 +1,96 @@
+"""Terminal-weight homotopy (solvers/homotopy.py): globalization quality
+and fused-kernel equivalence of the runtime terminal weight."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aslr_to_tpu.solvers.ddp import SolverSettings, solve
+from aslr_to_tpu.solvers.homotopy import homotopy_solve, scale_terminal_costs
+from aslr_to_tpu.workloads.presets import two_dof_vsa_boxddp
+
+
+def test_homotopy_beats_cold_start():
+    """Same iteration budget, staged terminal weight -> strictly better
+    local solution on the cold-started VSA reach (the reference's own
+    solver stalls here too; measured full-size T=100: cost 6984 -> 314).
+
+    The cold-start stall only appears at longer horizons (T<=60 both paths
+    find the same solution), so this runs T=80 and compares against the
+    RECORDED cold-start cost — the workload is deterministic, and re-solving
+    cold in the test would double its runtime. Regenerate the constant with
+    ``T=80 MAXITER=120 python scripts/diag_homotopy.py`` (single cold:
+    593.5974 @ maxiter=120, 593.1991 @ maxiter=160, f64 CPU)."""
+    COLD_STALL_COST = 593.5974
+    w = two_dof_vsa_boxddp(T=80)
+    homo = jax.jit(lambda: homotopy_solve(
+        w.problem, settings=SolverSettings(maxiter=30, th_stop=1e-7),
+        use_gaps=False, bounds=w.bounds))()
+
+    assert np.isfinite(float(homo.cost))
+    assert float(homo.cost) < 0.7 * COLD_STALL_COST
+
+
+def test_scale_terminal_costs_is_leaf_only():
+    """Scaling must not change the problem structure (one compiled program
+    across stages)."""
+    w = two_dof_vsa_boxddp(T=8)
+    p2 = scale_terminal_costs(w.problem, jnp.asarray(0.25))
+    s1 = jax.tree_util.tree_structure(w.problem)
+    s2 = jax.tree_util.tree_structure(p2)
+    assert s1 == s2
+    tw = sum(float(np.asarray(it.weight)) for it in p2.terminal.differential.costs.items)
+    tw0 = sum(float(np.asarray(it.weight)) for it in w.problem.terminal.differential.costs.items)
+    assert np.isclose(tw, 0.25 * tw0)
+
+
+def test_fast_path_runtime_terminal_weight_matches_generic():
+    """The kernels' runtime wterm input reproduces the generic path on a
+    rescaled problem (f64, interpret mode)."""
+    from aslr_to_tpu.pallas.vsa_kernels import build_fast_path, extract_vsa_spec
+
+    w = two_dof_vsa_boxddp(T=10)
+    p = w.problem
+    fast = build_fast_path(p, w.bounds, use_gaps=False, interpret=True)
+    spec = extract_vsa_spec(p, w.bounds)
+
+    B = 3
+    xs = 0.2 * jax.random.normal(jax.random.PRNGKey(0), (B, 11, 8))
+    us = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (B, 10, 4)) + jnp.array([0.0, 0.0, 0.5, 0.5])
+    wterm = jnp.full((B,), 0.125 * spec.w_goal_term)
+
+    import aslr_to_tpu.solvers.ddp as D
+
+    p_scaled = scale_terminal_costs(p, 0.125)
+    cost_r, run_r, term_r, xnext_r = jax.vmap(
+        lambda a, b: D._linearize_core(p_scaled, a, b))(xs, us)
+    cost_f, run_f, term_f, xnext_f = jax.vmap(fast.linearize)(xs, us, wterm)
+
+    assert np.allclose(cost_f, cost_r, atol=1e-9)
+    assert np.allclose(term_f.Lx, term_r.Lx, atol=1e-8)
+    assert np.allclose(term_f.Lxx, term_r.Lxx, atol=1e-8)
+    assert np.allclose(run_f.Fx, run_r.Fx, atol=1e-9)
+
+
+def test_homotopy_solve_fast_path_matches_generic():
+    """End-to-end staged solve: fused kernels vs generic path agree in f64."""
+    from aslr_to_tpu.pallas.vsa_kernels import build_fast_path
+
+    w = two_dof_vsa_boxddp(T=12)
+    p = w.problem
+    fast = build_fast_path(p, w.bounds, use_gaps=False, interpret=True)
+    st = SolverSettings(maxiter=8, th_stop=1e-7, use_pallas_backward=True)
+    st_ref = SolverSettings(maxiter=8, th_stop=1e-7)
+    B = 2
+    x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(2), (B, 8))
+
+    import dataclasses as dc
+
+    ref = jax.jit(jax.vmap(lambda x0: homotopy_solve(
+        dc.replace(p, x0=x0), settings=st_ref, use_gaps=False, bounds=w.bounds)))(x0s)
+    fst = jax.jit(jax.vmap(lambda x0: homotopy_solve(
+        dc.replace(p, x0=x0), settings=st, use_gaps=False, bounds=w.bounds,
+        fast=fast)))(x0s)
+
+    assert np.allclose(ref.cost, fst.cost, rtol=1e-8)
+    assert np.allclose(ref.us, fst.us, atol=1e-7)
+    assert np.all(np.asarray(ref.iterations) == np.asarray(fst.iterations))
