@@ -1,0 +1,248 @@
+"""Lane-layout end-to-end batched Box-DDP solver.
+
+The standard batched path (``vmap(solve)`` + ``custom_vmap`` kernel
+dispatch, parallel/batch.py) pays a batch-major <-> lane relayout around
+EVERY kernel call: the linearize kernel transposes its 9 derivative
+tensors back to batch-major, the backward kernel immediately transposes
+them to lanes again, and each line-search rollout round-trips xs/us/k/K.
+At B=2048, T=100 that is ~0.5 GB of pure relayout traffic per solver
+iteration on tensors whose batch-major form wastes 15/16 of every vector
+register (trailing dims 4/8 on 128-wide lanes).
+
+This module instead hand-batches the WHOLE solver loop in lane layout:
+the loop state (xs [T+1,8,Bp], us [T,nu,Bp]) lives on the lanes, the
+three fused kernels (linearize / Riccati+BoxQP backward / rollout) are
+called through their ``lane_io`` entry points, and relayouts happen
+exactly twice per solve — x0 in, solution out.
+
+Semantics replicate ``vmap(solvers.ddp.solve)`` element-for-element: JAX
+batches a ``while_loop`` by running the body while ANY element's cond
+holds and masking each element's carry update with its own cond; the
+loops below implement the same per-element predicates explicitly (see
+``_sel``). Bit-checked against the vmapped reference in float64
+interpret mode (tests/test_lane_solver.py).
+
+Scope: the no-gaps Box family (BoxDDP — the flagship/bench workload,
+reference ``examples/two_dof_vsa_boxddp.py:69``) on problems covered by
+:func:`.vsa_kernels.extract_vsa_spec`. Other configurations use the
+standard ``vmap(solve)`` path.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..solvers.ddp import Bounds, SolveLog, SolveResult, SolverSettings
+from ..solvers.problem import ShootingProblem
+from .riccati import riccati_box_backward_lanes
+from .vsa_kernels import NDX, build_linearize, build_rollout, extract_vsa_spec
+
+
+class _LaneState(NamedTuple):
+    xs: jnp.ndarray        # [T+1, 8, Bp]
+    us: jnp.ndarray        # [T, nu, Bp]
+    cost: jnp.ndarray      # [Bp]
+    stop: jnp.ndarray      # [Bp]
+    reg: jnp.ndarray       # [Bp]
+    it: jnp.ndarray        # [Bp] int32
+    done: jnp.ndarray      # [Bp] bool
+    converged: jnp.ndarray
+    diverged: jnp.ndarray
+
+
+def _sel(pred, new, old):
+    """Per-lane select: pred [Bp] broadcast against [..., Bp] leaves."""
+    return jnp.where(pred.reshape((1,) * (new.ndim - 1) + (-1,)), new, old)
+
+
+def build_lane_solver(
+    problem: ShootingProblem,
+    settings: SolverSettings = SolverSettings(),
+    bounds: Optional[Bounds] = None,
+    nb: int = 128,
+    interpret: Optional[bool] = None,
+):
+    """Build ``solve_batch(x0s[, xs_init, us_init]) -> SolveResult`` for a
+    CONCRETE problem (constants are baked into the kernels; call outside
+    jit). ``x0s`` is [B, nx] batch-major; the result is batch-major with
+    an empty per-iteration log (use the standard path for logging runs).
+    """
+    if bounds is None:
+        raise ValueError("lane solver covers the Box (bounded) no-gaps family")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s = settings
+    spec = extract_vsa_spec(problem, bounds)
+    T = problem.T
+    nu = spec.nu
+    lin = build_linearize(spec, T, nb, interpret, lane_io=True)
+    roll = build_rollout(spec, T, nb, interpret, use_gaps=False, lane_io=True)
+    lb = jnp.asarray(bounds.lb)
+    ub = jnp.asarray(bounds.ub)
+
+    def solve_batch(x0s, xs_init=None, us_init=None):
+        with jax.default_matmul_precision("float32"):
+            return _impl(x0s, xs_init, us_init)
+
+    def _impl(x0s, xs_init, us_init):
+        B = x0s.shape[0]
+        dtype = x0s.dtype
+        Bp = ((B + nb - 1) // nb) * nb
+        pad = Bp - B
+
+        def to_lanes(x):
+            x = jnp.asarray(x, dtype)
+            if pad:
+                x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], dtype)], axis=0)
+            return jnp.transpose(x, tuple(range(1, x.ndim)) + (0,))
+
+        x0_l = to_lanes(x0s)                                # [8, Bp]
+        xs0 = (jnp.broadcast_to(x0_l, (T + 1, NDX, Bp)) if xs_init is None
+               else to_lanes(xs_init))
+        us0 = (jnp.zeros((T, nu, Bp), dtype) if us_init is None
+               else to_lanes(us_init))
+        # project the warm start into the box (see solvers.ddp._solve_impl)
+        us0 = jnp.clip(us0, lb.astype(dtype)[None, :, None], ub.astype(dtype)[None, :, None])
+        lb_l = jnp.broadcast_to(lb.astype(dtype)[:, None], (nu, Bp))
+        ub_l = jnp.broadcast_to(ub.astype(dtype)[:, None], (nu, Bp))
+        wterm_l = jnp.full((1, Bp), spec.w_goal_term, dtype)
+        fs0_l = jnp.zeros((T + 1, NDX, Bp), dtype)          # rollout gap arg (unused, no-gaps)
+        infeas0_l = jnp.zeros((1, Bp), dtype)
+
+        alphas = jnp.asarray([2.0 ** -i for i in range(s.n_alphas)], dtype=dtype)
+        inf = jnp.full((Bp,), jnp.inf, dtype)
+        pad_mask = jnp.arange(Bp) >= B                      # padding lanes never run
+
+        init = _LaneState(
+            xs=xs0, us=us0, cost=inf, stop=inf,
+            reg=jnp.full((Bp,), s.reg_init, dtype),
+            it=jnp.zeros((Bp,), jnp.int32),
+            done=pad_mask,
+            converged=jnp.zeros((Bp,), bool),
+            diverged=jnp.zeros((Bp,), bool),
+        )
+
+        def backward(run, term, us_l, reg):
+            return riccati_box_backward_lanes(
+                run["Fx"], run["Fu"], run["Lx"], run["Lu"],
+                run["Lxx"], run["Lxu"], run["Luu"],
+                term["Lx"], term["Lxx"], us_l, lb_l, ub_l, reg,
+                qp_iters=s.boxqp_iters, nb=nb, interpret=interpret)
+
+        def body(st: _LaneState) -> _LaneState:
+            active = ~st.done
+            cost, run, term, xnext_l = lin(st.xs, st.us, wterm_l)
+
+            # defect gaps fs (Euclidean state — matches the lane kernels'
+            # dx convention); only the feasibility flag is consumed here
+            # (the no-gaps rollout starts exactly at x0)
+            g0 = jnp.max(jnp.abs(x0_l - st.xs[0]), axis=0)
+            gn = jnp.max(jnp.abs(xnext_l - st.xs[1:]), axis=(0, 1))
+            feasible = jnp.maximum(g0, gn) < s.th_gaptol
+
+            lin_ok = jnp.isfinite(cost)
+            for leaf in list(run.values()) + list(term.values()):
+                lin_ok = lin_ok & jnp.all(
+                    jnp.isfinite(leaf), axis=tuple(range(leaf.ndim - 1)))
+
+            # -- backward pass with per-lane regularization retry ----------
+            bw0 = backward(run, term, st.us, st.reg)
+
+            def bw_pred(reg, bw, tries):
+                return ((~bw.ok) & bw.retryable & (reg < s.reg_max)
+                        & (tries < s.bw_retry_cap) & active & lin_ok)
+
+            def bw_cond(c):
+                reg, bw, tries = c
+                return jnp.any(bw_pred(reg, bw, tries))
+
+            def bw_body(c):
+                reg, bw, tries = c
+                pred = bw_pred(reg, bw, tries)
+                reg2 = jnp.where(pred, jnp.minimum(reg * s.reg_factor, s.reg_max), reg)
+                bw2 = backward(run, term, st.us, reg2)
+                bw_m = jax.tree.map(lambda n, o: _sel(pred, n, o), bw2, bw)
+                return reg2, bw_m, tries + pred.astype(jnp.int32)
+
+            reg, bw, _ = jax.lax.while_loop(
+                bw_cond, bw_body, (st.reg, bw0, jnp.zeros((Bp,), jnp.int32)))
+            bw_failed = ~bw.ok
+            dg, dq = bw.dg, bw.dq
+
+            # -- early-exit backtracking line search (per-lane alpha) ------
+            def ls_pred(i, accepted):
+                return (~accepted) & (i < s.n_alphas)
+
+            def ls_cond(c):
+                i, accepted = c[0], c[1]
+                return jnp.any(ls_pred(i, accepted))
+
+            def ls_body(c):
+                i, accepted, xs_b, us_b, cost_b, alpha_b = c
+                pred = ls_pred(i, accepted)
+                alpha = jnp.take(alphas, jnp.clip(i, 0, s.n_alphas - 1))
+                xs_t, us_t, cost_t = roll(
+                    st.xs, st.us, bw.k, bw.K, x0_l, alpha[None, :],
+                    fs0_l, infeas0_l, wterm_l)
+                dV = cost - cost_t
+                dVexp = alpha * (dg + 0.5 * alpha * dq)
+                finite = jnp.isfinite(cost_t) & jnp.all(jnp.isfinite(xs_t), axis=(0, 1))
+                accept = finite & (dVexp >= 0.0) & (
+                    (dg < s.th_grad) | (~feasible) | (dV > s.th_acceptstep * dVexp))
+                take = accept & pred
+                return (
+                    i + pred.astype(jnp.int32),
+                    accepted | take,
+                    _sel(take, xs_t, xs_b),
+                    _sel(take, us_t, us_b),
+                    jnp.where(take, cost_t, cost_b),
+                    jnp.where(take, alpha, alpha_b),
+                )
+
+            ls0 = (jnp.zeros((Bp,), jnp.int32), st.done | bw_failed,
+                   st.xs, st.us, cost, jnp.zeros((Bp,), dtype))
+            _, any_accept, xs_new, us_new, cost_new, alpha_sel = jax.lax.while_loop(
+                ls_cond, ls_body, ls0)
+
+            # -- regularization schedule / termination ---------------------
+            eff_step = jnp.where(any_accept, alpha_sel, alphas[-1])
+            reg_dec = jnp.maximum(reg / s.reg_factor, s.reg_min)
+            reg_inc = jnp.minimum(reg * s.reg_factor, s.reg_max)
+            do_inc = eff_step <= s.th_stepinc
+            do_dec = (~do_inc) & (eff_step > s.th_stepdec)
+            reg_new = jnp.where(do_inc, reg_inc, jnp.where(do_dec, reg_dec, reg))
+            diverged = ((bw_failed & (reg >= s.reg_max))
+                        | (do_inc & (reg_new >= s.reg_max))
+                        | ~lin_ok)
+            converged = feasible & (bw.stop < s.th_stop)
+
+            it1 = st.it + 1
+            done = converged | diverged | (it1 >= s.maxiter)
+            # masked merge: finished lanes keep their state (vmap semantics)
+            return _LaneState(
+                xs=_sel(active, xs_new, st.xs),
+                us=_sel(active, us_new, st.us),
+                cost=jnp.where(active, cost_new, st.cost),
+                stop=jnp.where(active, bw.stop, st.stop),
+                reg=jnp.where(active, reg_new, st.reg),
+                it=jnp.where(active, it1, st.it),
+                done=jnp.where(active, done, st.done),
+                converged=jnp.where(active, converged, st.converged),
+                diverged=jnp.where(active, diverged, st.diverged),
+            )
+
+        final = jax.lax.while_loop(lambda st: jnp.any(~st.done), body, init)
+
+        empty = jnp.zeros((B, 0), dtype)
+        return SolveResult(
+            xs=jnp.transpose(final.xs, (2, 0, 1))[:B],
+            us=jnp.transpose(final.us, (2, 0, 1))[:B],
+            cost=final.cost[:B], stop=final.stop[:B],
+            iterations=final.it[:B], converged=final.converged[:B],
+            diverged=final.diverged[:B], reg=final.reg[:B],
+            log=SolveLog(*[empty for _ in SolveLog._fields]),
+        )
+
+    return jax.jit(solve_batch, static_argnames=())

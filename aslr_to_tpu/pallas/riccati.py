@@ -499,40 +499,29 @@ def _chunk_call(Tc, qp_iters, nb, interpret, add_reg, dtype, Bp, args):
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("qp_iters", "nb", "t_chunk", "interpret"))
-def riccati_box_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
-                         us, lb, ub, reg, qp_iters: int = _QP_ITERS,
-                         nb: int = 128, t_chunk: int = 25,
-                         interpret: bool = False) -> BoxBackwardOut:
-    """Batched fused backward pass.
+def riccati_box_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
+                               tLx_l, tLxx_l, us_l, lb_l, ub_l, reg,
+                               qp_iters: int = _QP_ITERS, nb: int = 128,
+                               t_chunk: int = 25,
+                               interpret: bool = False) -> BoxBackwardOut:
+    """Lane-IO fused Box backward: no batch-major transposes.
 
-    Batch-major inputs: Fx [B,T,8,8], Fu [B,T,8,4], Lx [B,T,8], Lu [B,T,4],
-    Lxx [B,T,8,8], Lxu [B,T,8,4], Luu [B,T,4,4], term_Lx [B,8],
-    term_Lxx [B,8,8], us [B,T,4], lb/ub [B,4], reg [B].
-
-    The time axis is processed in reverse-order chunks of ``t_chunk`` knots
-    with the (Vx, Vxx) carry passed between pallas_calls — full-T blocks
-    would exceed VMEM with double buffering at 128 lanes.
+    Inputs already in lane layout: Fx_l [T,8,8,Bp], Fu_l [T,8,4,Bp],
+    Lx_l [T,8,Bp], Lu_l [T,4,Bp], Lxx_l [T,8,8,Bp], Lxu_l [T,8,4,Bp],
+    Luu_l [T,4,4,Bp], tLx_l [8,Bp], tLxx_l [8,8,Bp], us_l [T,4,Bp],
+    lb_l/ub_l [4,Bp], reg [Bp] (Bp a multiple of ``nb``). Returns a
+    :class:`BoxBackwardOut` whose k/K stay in lane layout
+    ([T,4,Bp] / [T,4,8,Bp]); stats are [Bp] vectors.
     """
-    B, T = Fx.shape[0], Fx.shape[1]
-    dtype = Fx.dtype
-    Bp = ((B + nb - 1) // nb) * nb
-
-    def to_lanes(x):
-        x = _pad_to(x, Bp, 0)
-        perm = tuple(range(1, x.ndim)) + (0,)
-        return jnp.transpose(x, perm)
-
-    Fx_l, Fu_l, Lx_l, Lu_l = map(to_lanes, (Fx, Fu, Lx, Lu))
-    Lxx_l, Lxu_l, Luu_l, us_l = map(to_lanes, (Lxx, Lxu, Luu, us))
-    tLx_l, tLxx_l, lb_l, ub_l = map(to_lanes, (term_Lx, term_Lxx, lb, ub))
-    # reg as [1, Bp] (padded lanes get 1.0 to keep their Cholesky finite)
-    reg_l = jnp.concatenate([reg, jnp.ones(Bp - B, dtype=dtype)])[None, :]
+    T = Fx_l.shape[0]
+    dtype = Fx_l.dtype
+    reg_l = reg[None, :]
 
     n_chunks = (T + t_chunk - 1) // t_chunk
     carry_Vx, carry_Vxx = tLx_l, tLxx_l
     add_reg = True
     ks, Ks, stats_acc = [], [], None
+    Bp = Fx_l.shape[-1]
     for c in range(n_chunks - 1, -1, -1):
         lo = c * t_chunk
         hi = min(T, lo + t_chunk)
@@ -550,9 +539,48 @@ def riccati_box_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
 
     k_l = jnp.concatenate(ks[::-1], axis=0)
     K_l = jnp.concatenate(Ks[::-1], axis=0)
-    k = jnp.transpose(k_l, (2, 0, 1))[:B]             # [B,T,4]
-    K = jnp.transpose(K_l, (3, 0, 1, 2))[:B]          # [B,T,4,8]
-    dg, dq, stop = stats_acc[0, :B], stats_acc[1, :B], stats_acc[2, :B]
-    ok = stats_acc[3, :B] > (float(n_chunks) - 0.5)   # every chunk finite
-    return BoxBackwardOut(k=k, K=K, dg=dg, dq=dq, stop=stop, ok=ok,
-                          retryable=stats_acc[4, :B] > 0.5)
+    ok = stats_acc[3] > (float(n_chunks) - 0.5)       # every chunk finite
+    return BoxBackwardOut(k=k_l, K=K_l, dg=stats_acc[0], dq=stats_acc[1],
+                          stop=stats_acc[2], ok=ok,
+                          retryable=stats_acc[4] > 0.5)
+
+
+@functools.partial(jax.jit, static_argnames=("qp_iters", "nb", "t_chunk", "interpret"))
+def riccati_box_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
+                         us, lb, ub, reg, qp_iters: int = _QP_ITERS,
+                         nb: int = 128, t_chunk: int = 25,
+                         interpret: bool = False) -> BoxBackwardOut:
+    """Batched fused backward pass.
+
+    Batch-major inputs: Fx [B,T,8,8], Fu [B,T,8,4], Lx [B,T,8], Lu [B,T,4],
+    Lxx [B,T,8,8], Lxu [B,T,8,4], Luu [B,T,4,4], term_Lx [B,8],
+    term_Lxx [B,8,8], us [B,T,4], lb/ub [B,4], reg [B].
+
+    The time axis is processed in reverse-order chunks of ``t_chunk`` knots
+    with the (Vx, Vxx) carry passed between pallas_calls — full-T blocks
+    would exceed VMEM with double buffering at 128 lanes.
+    """
+    B = Fx.shape[0]
+    dtype = Fx.dtype
+    Bp = ((B + nb - 1) // nb) * nb
+
+    def to_lanes(x):
+        x = _pad_to(x, Bp, 0)
+        perm = tuple(range(1, x.ndim)) + (0,)
+        return jnp.transpose(x, perm)
+
+    Fx_l, Fu_l, Lx_l, Lu_l = map(to_lanes, (Fx, Fu, Lx, Lu))
+    Lxx_l, Lxu_l, Luu_l, us_l = map(to_lanes, (Lxx, Lxu, Luu, us))
+    tLx_l, tLxx_l, lb_l, ub_l = map(to_lanes, (term_Lx, term_Lxx, lb, ub))
+    # padded lanes get reg 1.0 to keep their Cholesky finite
+    reg_p = jnp.concatenate([reg, jnp.ones(Bp - B, dtype=dtype)])
+
+    out = riccati_box_backward_lanes(
+        Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l, tLx_l, tLxx_l,
+        us_l, lb_l, ub_l, reg_p, qp_iters=qp_iters, nb=nb, t_chunk=t_chunk,
+        interpret=interpret)
+    k = jnp.transpose(out.k, (2, 0, 1))[:B]           # [B,T,4]
+    K = jnp.transpose(out.K, (3, 0, 1, 2))[:B]        # [B,T,4,8]
+    return BoxBackwardOut(k=k, K=K, dg=out.dg[:B], dq=out.dq[:B],
+                          stop=out.stop[:B], ok=out.ok[:B],
+                          retryable=out.retryable[:B])

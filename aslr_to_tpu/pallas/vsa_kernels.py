@@ -282,34 +282,20 @@ def _rollout_kernel(spec: VSASpec, T: int, use_gaps: bool,
 
 
 def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
-                  use_gaps: bool = False):
+                  use_gaps: bool = False, lane_io: bool = False):
     """Returns rollout(xs, us, k, K, x0, alpha, fs, infeasible) ->
     (xs_try, us_try, cost), batch-major in/out, dispatched to the lane
     kernel. ``fs``/``infeasible`` drive the FDDP gap contraction (pass
-    zeros for the DDP variants)."""
+    zeros for the DDP variants). With ``lane_io=True`` the returned
+    callable instead takes/returns lane-layout tensors directly
+    (xs_l [T+1,8,Bp], us_l/k_l [T,nu,Bp], K_l [T,nu,8,Bp], x0_l [8,Bp],
+    alpha_l/infeas_l/wterm_l [1,Bp], fs_l [T+1,8,Bp]) and returns
+    (xs_l [T+1,8,Bp], us_l [T,nu,Bp], cost [Bp]) — no relayouts."""
     nu = spec.nu
 
-    def rollout_batched(xs, us, k, K, x0, alpha, fs, infeas, wterm=None):
-        B = xs.shape[0]
-        dtype = xs.dtype
-        Bp = ((B + nb - 1) // nb) * nb
-        if wterm is None:
-            wterm = jnp.full((B,), spec.w_goal_term, dtype)
-        else:
-            wterm = jnp.broadcast_to(jnp.asarray(wterm, dtype), (B,))
-
-        def to_lanes(x):
-            pad = Bp - B
-            if pad:
-                x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], dtype)], axis=0)
-            return jnp.transpose(x, tuple(range(1, x.ndim)) + (0,))
-
-        xs_l = to_lanes(xs[:, :T])   # reference states for feedback, knots 0..T-1
-        us_l, k_l, K_l, x0_l, fs_l = map(to_lanes, (us, k, K, x0, fs))
-        alpha_l = jnp.concatenate([alpha, jnp.zeros(Bp - B, dtype)])[None, :]
-        infeas_l = jnp.concatenate([infeas.astype(dtype), jnp.zeros(Bp - B, dtype)])[None, :]
-        wterm_l = jnp.concatenate([wterm, jnp.zeros(Bp - B, dtype)])[None, :]
-
+    def rollout_lanes(xs_l, us_l, k_l, K_l, x0_l, alpha_l, fs_l, infeas_l, wterm_l):
+        dtype = xs_l.dtype
+        Bp = xs_l.shape[-1]
         grid = (Bp // nb,)
 
         def spec_nd(*dims):
@@ -331,12 +317,38 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
             ],
             scratch_shapes=[pltpu.VMEM((NDX, nb), dtype)],
             interpret=interpret,
-        )(xs_l, us_l, k_l, K_l, x0_l, alpha_l, fs_l, infeas_l, wterm_l)
+        )(xs_l[:T], us_l, k_l, K_l, x0_l, alpha_l, fs_l, infeas_l, wterm_l)
+        return xs_o, us_o, cost_o[0]
+
+    if lane_io:
+        return rollout_lanes
+
+    def rollout_batched(xs, us, k, K, x0, alpha, fs, infeas, wterm=None):
+        B = xs.shape[0]
+        dtype = xs.dtype
+        Bp = ((B + nb - 1) // nb) * nb
+        if wterm is None:
+            wterm = jnp.full((B,), spec.w_goal_term, dtype)
+        else:
+            wterm = jnp.broadcast_to(jnp.asarray(wterm, dtype), (B,))
+
+        def to_lanes(x):
+            pad = Bp - B
+            if pad:
+                x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], dtype)], axis=0)
+            return jnp.transpose(x, tuple(range(1, x.ndim)) + (0,))
+
+        xs_l, us_l, k_l, K_l, x0_l, fs_l = map(to_lanes, (xs, us, k, K, x0, fs))
+        alpha_l = jnp.concatenate([alpha, jnp.zeros(Bp - B, dtype)])[None, :]
+        infeas_l = jnp.concatenate([infeas.astype(dtype), jnp.zeros(Bp - B, dtype)])[None, :]
+        wterm_l = jnp.concatenate([wterm, jnp.zeros(Bp - B, dtype)])[None, :]
+
+        xs_o, us_o, cost_l = rollout_lanes(
+            xs_l, us_l, k_l, K_l, x0_l, alpha_l, fs_l, infeas_l, wterm_l)
 
         xs_try = jnp.transpose(xs_o, (2, 0, 1))[:B]
         us_try = jnp.transpose(us_o, (2, 0, 1))[:B]
-        cost = cost_o[0, :B]
-        return xs_try, us_try, cost
+        return xs_try, us_try, cost_l[:B]
 
     return rollout_batched
 
@@ -582,30 +594,20 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
     xnext_ref[:] = jnp.stack(xnext)
 
 
-def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False):
-    """Returns linearize(xs, us) -> (cost, run_diff tuple, term tuple, xnext)."""
+def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
+                    lane_io: bool = False):
+    """Returns linearize(xs, us) -> (cost, run_diff tuple, term tuple, xnext).
+
+    With ``lane_io=True`` the returned callable takes lane-layout inputs
+    (xs_l [T+1,8,Bp], us_l [T,nu,Bp], wterm_l [1,Bp]) and returns
+    (cost [Bp], run dict of lane tensors [T,...,Bp], term dict of lane
+    tensors [...,Bp], xnext_l [T,8,Bp]) — no relayouts, ready to feed
+    :func:`..riccati.riccati_box_backward_lanes` directly."""
     NU = spec.nu
 
-    def linearize_batched(xs, us, wterm=None):
-        # xs [B, T+1, 8], us [B, T, 4]
-        B = xs.shape[0]
-        dtype = xs.dtype
-        Bp = ((B + nb - 1) // nb) * nb
-        if wterm is None:
-            wterm = jnp.full((B,), spec.w_goal_term, dtype)
-        else:
-            wterm = jnp.broadcast_to(jnp.asarray(wterm, dtype), (B,))
-        wterm_l = jnp.concatenate([wterm, jnp.zeros(Bp - B, dtype)])[None, :]
-
-        def to_lanes(x):
-            pad = Bp - B
-            if pad:
-                x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], dtype)], axis=0)
-            return jnp.transpose(x, tuple(range(1, x.ndim)) + (0,))
-
-        xs_l = to_lanes(xs)          # [T+1, 8, Bp]
-        us_l = to_lanes(us)          # [T, 4, Bp]
-
+    def linearize_lanes(xs_l, us_l, wterm_l):
+        dtype = xs_l.dtype
+        Bp = xs_l.shape[-1]
         grid = (T, Bp // nb)
 
         def in_spec(*dims):
@@ -676,21 +678,43 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
         )(xs_l[T:T + 1], us_l[:1] * 0.0, wterm_l)
         tFx, tFu, tLx, tLu, tLxx, tLxu, tLuu, _, tcost = term_outs
 
-        def back(x, lead):
-            # [T, dims..., Bp] -> [B, T, dims...]
+        run = dict(Fx=Fx, Fu=Fu, Lx=Lx, Lu=Lu, Lxx=Lxx, Lxu=Lxu, Luu=Luu)
+        term = dict(Fx=tFx[0], Fu=tFu[0], Lx=tLx[0], Lu=tLu[0],
+                    Lxx=tLxx[0], Lxu=tLxu[0], Luu=tLuu[0])
+        cost = jnp.sum(costs[:, 0, :], axis=0) + tcost[0, 0]
+        return cost, run, term, xnext
+
+    if lane_io:
+        return linearize_lanes
+
+    def linearize_batched(xs, us, wterm=None):
+        # xs [B, T+1, 8], us [B, T, 4]
+        B = xs.shape[0]
+        dtype = xs.dtype
+        Bp = ((B + nb - 1) // nb) * nb
+        if wterm is None:
+            wterm = jnp.full((B,), spec.w_goal_term, dtype)
+        else:
+            wterm = jnp.broadcast_to(jnp.asarray(wterm, dtype), (B,))
+        wterm_l = jnp.concatenate([wterm, jnp.zeros(Bp - B, dtype)])[None, :]
+
+        def to_lanes(x):
+            pad = Bp - B
+            if pad:
+                x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], dtype)], axis=0)
+            return jnp.transpose(x, tuple(range(1, x.ndim)) + (0,))
+
+        cost_l, run_l, term_l, xnext_l = linearize_lanes(
+            to_lanes(xs), to_lanes(us), wterm_l)
+
+        def back(x):
+            # [dims..., Bp] -> [B, dims...]
             perm = (x.ndim - 1,) + tuple(range(x.ndim - 1))
             return jnp.transpose(x, perm)[:B]
 
-        run = dict(
-            Fx=back(Fx, T), Fu=back(Fu, T), Lx=back(Lx, T), Lu=back(Lu, T),
-            Lxx=back(Lxx, T), Lxu=back(Lxu, T), Luu=back(Luu, T))
-        term = dict(
-            Lx=back(tLx, 1)[:, 0], Lxx=back(tLxx, 1)[:, 0],
-            Fx=back(tFx, 1)[:, 0], Fu=back(tFu, 1)[:, 0],
-            Lu=back(tLu, 1)[:, 0], Lxu=back(tLxu, 1)[:, 0], Luu=back(tLuu, 1)[:, 0])
-        xnext_b = back(xnext, T)
-        cost = jnp.sum(back(costs, T)[:, :, 0], axis=1) + back(tcost, 1)[:, 0, 0]
-        return cost, run, term, xnext_b
+        run = {k: back(v) for k, v in run_l.items()}
+        term = {k: back(v) for k, v in term_l.items()}
+        return cost_l[:B], run, term, back(xnext_l)
 
     return linearize_batched
 

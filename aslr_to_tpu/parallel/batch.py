@@ -35,9 +35,20 @@ def make_batched_solver(
     ``x0s`` has shape [B, nx]; every other problem leaf is shared. The
     returned function is jit-compiled; feed it sharded ``x0s`` (see
     :func:`sharded_solve`) to scale across a mesh. ``use_fast_path``
-    activates the fused Pallas VSA kernels (2-DoF VSA problems,
-    no-gaps variants only).
+    activates the fused Pallas kernels; the string ``"lanes"`` selects the
+    lane-layout end-to-end solver (pallas/lane_solver.py — the whole loop
+    stays in lane layout, zero per-iteration relayouts; Box no-gaps
+    problems without warm start only).
     """
+    if use_fast_path == "lanes":
+        from ..pallas.lane_solver import build_lane_solver
+
+        if use_gaps or bounds is None or warm_start:
+            raise ValueError(
+                "lane solver covers the no-gaps Box family without warm start; "
+                "use use_fast_path=True for other configurations")
+        return build_lane_solver(problem, settings, bounds)
+
     fast = None
     if use_fast_path:
         from ..pallas.vsa_kernels import build_fast_path

@@ -40,9 +40,21 @@ def main():
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     w = two_dof_vsa_boxddp(T=T, dtype=dtype)
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    # lane-layout end-to-end solver (zero per-iteration relayouts); falls
+    # back to the standard fused path if the problem shape is unsupported
+    use_lanes = use_pallas and os.environ.get("BENCH_LANES", "1") == "1"
     settings = SolverSettings(maxiter=MAXITER, th_stop=1e-5, use_pallas_backward=use_pallas)
-    fn = make_batched_solver(w.problem, settings, use_gaps=False, bounds=w.bounds,
-                             use_fast_path=use_pallas)
+    fn = None
+    if use_lanes:
+        try:
+            fn = make_batched_solver(w.problem, settings, use_gaps=False, bounds=w.bounds,
+                                     use_fast_path="lanes")
+        except Exception as e:
+            print(f"[bench] lane solver unavailable ({type(e).__name__}: {e}); "
+                  "using standard fast path", file=sys.stderr)
+    if fn is None:
+        fn = make_batched_solver(w.problem, settings, use_gaps=False, bounds=w.bounds,
+                                 use_fast_path=use_pallas)
 
     nx = w.problem.state.nx
     x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (BATCH, nx), dtype=dtype)

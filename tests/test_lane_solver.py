@@ -1,0 +1,86 @@
+"""Lane-layout end-to-end solver vs the vmapped reference (interpret mode).
+
+The lane solver hand-batches the whole Box-DDP loop in lane layout
+(pallas/lane_solver.py); it must replicate ``vmap(solve)`` element for
+element — same accepted steps, same iteration counts, same solutions.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aslr_to_tpu.parallel.batch import make_batched_solver
+from aslr_to_tpu.solvers.ddp import SolverSettings
+from aslr_to_tpu.workloads.presets import two_dof_vsa_boxddp, two_dof_vsa_modified
+
+
+def _solve_both(w, x0s, maxiter, th_stop=1e-7):
+    ref = make_batched_solver(
+        w.problem, SolverSettings(maxiter=maxiter, th_stop=th_stop),
+        use_gaps=False, bounds=w.bounds)(x0s)
+    lane = make_batched_solver(
+        w.problem, SolverSettings(maxiter=maxiter, th_stop=th_stop),
+        use_gaps=False, bounds=w.bounds, use_fast_path="lanes")(x0s)
+    return ref, lane
+
+
+def _check(ref, lane):
+    assert np.allclose(ref.cost, lane.cost, rtol=1e-8)
+    assert np.allclose(ref.us, lane.us, atol=1e-8)
+    assert np.allclose(ref.xs, lane.xs, atol=1e-8)
+    assert np.all(np.asarray(ref.iterations) == np.asarray(lane.iterations))
+    assert np.all(np.asarray(ref.converged) == np.asarray(lane.converged))
+    assert np.all(np.asarray(ref.diverged) == np.asarray(lane.diverged))
+    assert np.allclose(ref.stop, lane.stop, rtol=1e-6)
+    assert np.allclose(ref.reg, lane.reg, rtol=1e-8)
+
+
+def test_lane_solver_matches_reference():
+    w = two_dof_vsa_boxddp(T=12)
+    x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+    ref, lane = _solve_both(w, x0s, maxiter=6)
+    _check(ref, lane)
+
+
+def test_lane_solver_per_scenario_termination():
+    """Longer budget: scenarios converge at different iterations; the
+    per-lane masking must freeze each exactly where vmap(solve) does."""
+    w = two_dof_vsa_boxddp(T=10)
+    x0s = jnp.concatenate([
+        0.02 * jax.random.normal(jax.random.PRNGKey(2), (3, 8)),
+        0.3 * jax.random.normal(jax.random.PRNGKey(3), (2, 8)),
+    ])
+    # th_stop sits between scenario 0's stop trough (22.3 at iteration 3)
+    # and every other scenario's minimum (>170): one lane freezes early,
+    # the rest run to maxiter.
+    ref, lane = _solve_both(w, x0s, maxiter=18, th_stop=23.5)
+    assert len(set(np.asarray(lane.iterations).tolist())) > 1  # genuinely staggered
+    assert bool(np.any(np.asarray(lane.converged)))
+    _check(ref, lane)
+
+
+def test_lane_solver_modified_preset_warm_start_args():
+    """Stiffness-cost variant + explicit xs/us warm start (batch-major)."""
+    w = two_dof_vsa_modified(T=8)
+    B = 3
+    x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(4), (B, 8))
+    xs0 = jnp.broadcast_to(x0s[:, None, :], (B, 9, 8))
+    # gentle warm start (large random torques blow up the stiff dynamics and
+    # the exploding trajectories amplify roundoff past any tolerance)
+    us0 = (1e-3 * jax.random.normal(jax.random.PRNGKey(5), (B, 8, 4))
+           + jnp.array([0, 0, 0.5, 0.5]))
+
+    import dataclasses
+
+    from aslr_to_tpu.solvers.ddp import solve
+
+    def one(x0, xs, us):
+        p = dataclasses.replace(w.problem, x0=x0)
+        return solve(p, xs, us, settings=SolverSettings(maxiter=5, th_stop=1e-7),
+                     use_gaps=False, bounds=w.bounds)
+
+    ref = jax.jit(jax.vmap(one))(x0s, xs0, us0)
+    from aslr_to_tpu.pallas.lane_solver import build_lane_solver
+
+    lane = build_lane_solver(w.problem, SolverSettings(maxiter=5, th_stop=1e-7),
+                             w.bounds)(x0s, xs0, us0)
+    _check(ref, lane)
