@@ -1,4 +1,4 @@
-"""Lane-layout end-to-end batched Box-DDP solver.
+"""Lane-layout end-to-end batched DDP/FDDP/BoxDDP solver.
 
 The standard batched path (``vmap(solve)`` + ``custom_vmap`` kernel
 dispatch, parallel/batch.py) pays a batch-major <-> lane relayout around
@@ -11,9 +11,9 @@ register (trailing dims 4/8 on 128-wide lanes).
 
 This module instead hand-batches the WHOLE solver loop in lane layout:
 the loop state (xs [T+1,8,Bp], us [T,nu,Bp]) lives on the lanes, the
-three fused kernels (linearize / Riccati+BoxQP backward / rollout) are
-called through their ``lane_io`` entry points, and relayouts happen
-exactly twice per solve — x0 in, solution out.
+three fused kernels (linearize / Riccati backward / rollout) are called
+through their ``lane_io`` entry points, and relayouts happen exactly
+twice per solve — x0 in, solution out.
 
 Semantics replicate ``vmap(solvers.ddp.solve)`` element-for-element: JAX
 batches a ``while_loop`` by running the body while ANY element's cond
@@ -22,10 +22,17 @@ loops below implement the same per-element predicates explicitly (see
 ``_sel``). Bit-checked against the vmapped reference in float64
 interpret mode (tests/test_lane_solver.py).
 
-Scope: the no-gaps Box family (BoxDDP — the flagship/bench workload,
-reference ``examples/two_dof_vsa_boxddp.py:69``) on problems covered by
-:func:`.vsa_kernels.extract_vsa_spec`. Other configurations use the
-standard ``vmap(solve)`` path.
+Scope: three of the four solver families on problems covered by
+:func:`.vsa_kernels.extract_vsa_spec`:
+
+  - BoxDDP (bounds, no gaps) — the flagship/bench workload, reference
+    ``examples/two_dof_vsa_boxddp.py:69``;
+  - FDDP (gaps, unbounded) — the SEA reach / pendulum family, reference
+    ``examples/two_dof_sea.py:69`` (gap-aware backward kernel, deflected
+    Vx, dv-corrected expected improvement, gap-contracting rollouts);
+  - DDP (no gaps, unbounded) — the FDDP kernel with zero gaps.
+
+BoxFDDP (gaps + bounds) uses the standard ``vmap(solve)`` path.
 """
 from __future__ import annotations
 
@@ -36,7 +43,7 @@ import jax.numpy as jnp
 
 from ..solvers.ddp import Bounds, SolveLog, SolveResult, SolverSettings
 from ..solvers.problem import ShootingProblem
-from .riccati import riccati_box_backward_lanes
+from .riccati import riccati_box_backward_lanes, riccati_fddp_backward_lanes
 from .vsa_kernels import NDX, build_linearize, build_rollout, extract_vsa_spec
 
 
@@ -63,14 +70,16 @@ def build_lane_solver(
     bounds: Optional[Bounds] = None,
     nb: int = 128,
     interpret: Optional[bool] = None,
+    use_gaps: bool = False,
 ):
     """Build ``solve_batch(x0s[, xs_init, us_init]) -> SolveResult`` for a
     CONCRETE problem (constants are baked into the kernels; call outside
     jit). ``x0s`` is [B, nx] batch-major; the result is batch-major with
     an empty per-iteration log (use the standard path for logging runs).
     """
-    if bounds is None:
-        raise ValueError("lane solver covers the Box (bounded) no-gaps family")
+    if use_gaps and bounds is not None:
+        raise ValueError("lane solver covers BoxDDP, FDDP, and DDP; "
+                         "BoxFDDP uses the standard vmap(solve) path")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     s = settings
@@ -78,9 +87,11 @@ def build_lane_solver(
     T = problem.T
     nu = spec.nu
     lin = build_linearize(spec, T, nb, interpret, lane_io=True)
-    roll = build_rollout(spec, T, nb, interpret, use_gaps=False, lane_io=True)
-    lb = jnp.asarray(bounds.lb)
-    ub = jnp.asarray(bounds.ub)
+    roll = build_rollout(spec, T, nb, interpret, use_gaps=use_gaps, lane_io=True)
+    boxed = bounds is not None
+    if boxed:
+        lb = jnp.asarray(bounds.lb)
+        ub = jnp.asarray(bounds.ub)
 
     def solve_batch(x0s, xs_init=None, us_init=None):
         with jax.default_matmul_precision("float32"):
@@ -103,13 +114,14 @@ def build_lane_solver(
                else to_lanes(xs_init))
         us0 = (jnp.zeros((T, nu, Bp), dtype) if us_init is None
                else to_lanes(us_init))
-        # project the warm start into the box (see solvers.ddp._solve_impl)
-        us0 = jnp.clip(us0, lb.astype(dtype)[None, :, None], ub.astype(dtype)[None, :, None])
-        lb_l = jnp.broadcast_to(lb.astype(dtype)[:, None], (nu, Bp))
-        ub_l = jnp.broadcast_to(ub.astype(dtype)[:, None], (nu, Bp))
+        if boxed:
+            # project the warm start into the box (see solvers.ddp._solve_impl)
+            us0 = jnp.clip(us0, lb.astype(dtype)[None, :, None], ub.astype(dtype)[None, :, None])
+            lb_l = jnp.broadcast_to(lb.astype(dtype)[:, None], (nu, Bp))
+            ub_l = jnp.broadcast_to(ub.astype(dtype)[:, None], (nu, Bp))
         wterm_l = jnp.full((1, Bp), spec.w_goal_term, dtype)
-        fs0_l = jnp.zeros((T + 1, NDX, Bp), dtype)          # rollout gap arg (unused, no-gaps)
-        infeas0_l = jnp.zeros((1, Bp), dtype)
+        zeros_fs = jnp.zeros((T + 1, NDX, Bp), dtype)
+        zeros_1B = jnp.zeros((1, Bp), dtype)
 
         alphas = jnp.asarray([2.0 ** -i for i in range(s.n_alphas)], dtype=dtype)
         inf = jnp.full((Bp,), jnp.inf, dtype)
@@ -124,31 +136,42 @@ def build_lane_solver(
             diverged=jnp.zeros((Bp,), bool),
         )
 
-        def backward(run, term, us_l, reg):
-            return riccati_box_backward_lanes(
+        def backward(run, term, us_l, fs_l, reg):
+            if boxed:
+                return riccati_box_backward_lanes(
+                    run["Fx"], run["Fu"], run["Lx"], run["Lu"],
+                    run["Lxx"], run["Lxu"], run["Luu"],
+                    term["Lx"], term["Lxx"], us_l, lb_l, ub_l, reg,
+                    qp_iters=s.boxqp_iters, nb=nb, interpret=interpret)
+            return riccati_fddp_backward_lanes(
                 run["Fx"], run["Fu"], run["Lx"], run["Lu"],
                 run["Lxx"], run["Lxu"], run["Luu"],
-                term["Lx"], term["Lxx"], us_l, lb_l, ub_l, reg,
-                qp_iters=s.boxqp_iters, nb=nb, interpret=interpret)
+                term["Lx"], term["Lxx"], fs_l, reg,
+                nu=nu, nb=nb, interpret=interpret)
 
         def body(st: _LaneState) -> _LaneState:
             active = ~st.done
             cost, run, term, xnext_l = lin(st.xs, st.us, wterm_l)
 
-            # defect gaps fs (Euclidean state — matches the lane kernels'
-            # dx convention); only the feasibility flag is consumed here
-            # (the no-gaps rollout starts exactly at x0)
-            g0 = jnp.max(jnp.abs(x0_l - st.xs[0]), axis=0)
-            gn = jnp.max(jnp.abs(xnext_l - st.xs[1:]), axis=(0, 1))
-            feasible = jnp.maximum(g0, gn) < s.th_gaptol
+            # defect gaps fs = diff(xs, [x0; xnext]) — Euclidean state,
+            # matching both solvers.ddp._gaps and the lane kernels' dx
+            # convention. The FDDP family consumes the full tensor; the
+            # no-gaps families only the feasibility flag.
+            fs_l = jnp.concatenate(
+                [(x0_l - st.xs[0])[None], xnext_l - st.xs[1:]], axis=0)
+            gap_norm = jnp.max(jnp.abs(fs_l), axis=(0, 1))
+            feasible = gap_norm < s.th_gaptol
+            infeas_f = (~feasible).astype(dtype)
 
             lin_ok = jnp.isfinite(cost)
             for leaf in list(run.values()) + list(term.values()):
                 lin_ok = lin_ok & jnp.all(
                     jnp.isfinite(leaf), axis=tuple(range(leaf.ndim - 1)))
 
+            bw_fs = fs_l if use_gaps else zeros_fs
+
             # -- backward pass with per-lane regularization retry ----------
-            bw0 = backward(run, term, st.us, st.reg)
+            bw0 = backward(run, term, st.us, bw_fs, st.reg)
 
             def bw_pred(reg, bw, tries):
                 return ((~bw.ok) & bw.retryable & (reg < s.reg_max)
@@ -162,14 +185,20 @@ def build_lane_solver(
                 reg, bw, tries = c
                 pred = bw_pred(reg, bw, tries)
                 reg2 = jnp.where(pred, jnp.minimum(reg * s.reg_factor, s.reg_max), reg)
-                bw2 = backward(run, term, st.us, reg2)
+                bw2 = backward(run, term, st.us, bw_fs, reg2)
                 bw_m = jax.tree.map(lambda n, o: _sel(pred, n, o), bw2, bw)
                 return reg2, bw_m, tries + pred.astype(jnp.int32)
 
             reg, bw, _ = jax.lax.while_loop(
                 bw_cond, bw_body, (st.reg, bw0, jnp.zeros((Bp,), jnp.int32)))
             bw_failed = ~bw.ok
-            dg, dq = bw.dg, bw.dq
+
+            # -- expected improvement model (gap-aware, FDDP) --------------
+            if use_gaps:
+                dg = bw.dg + infeas_f * bw.dg_gap
+                dq = bw.dq + infeas_f * bw.dq_gap
+            else:
+                dg, dq = bw.dg, bw.dq
 
             # -- early-exit backtracking line search (per-lane alpha) ------
             def ls_pred(i, accepted):
@@ -185,12 +214,26 @@ def build_lane_solver(
                 alpha = jnp.take(alphas, jnp.clip(i, 0, s.n_alphas - 1))
                 xs_t, us_t, cost_t = roll(
                     st.xs, st.us, bw.k, bw.K, x0_l, alpha[None, :],
-                    fs0_l, infeas0_l, wterm_l)
+                    bw_fs, infeas_f[None, :] if use_gaps else zeros_1B, wterm_l)
                 dV = cost - cost_t
-                dVexp = alpha * (dg + 0.5 * alpha * dq)
-                finite = jnp.isfinite(cost_t) & jnp.all(jnp.isfinite(xs_t), axis=(0, 1))
-                accept = finite & (dVexp >= 0.0) & (
-                    (dg < s.th_grad) | (~feasible) | (dV > s.th_acceptstep * dVexp))
+                if use_gaps:
+                    # dv correction (Crocoddyl FDDP::expectedImprovement):
+                    # dv = -sum_t fs_t . (Vxx_t dx_t), dx_t = xs_try (-) xs.
+                    dx = xs_t - st.xs
+                    dv = -jnp.einsum("tib,tijb,tjb->b", fs_l, bw.Vxx, dx) * infeas_f
+                    d1 = dg + dv
+                    d2 = dq - 2.0 * dv
+                    dVexp = alpha * (d1 + 0.5 * alpha * d2)
+                    finite = jnp.isfinite(cost_t) & jnp.all(jnp.isfinite(xs_t), axis=(0, 1))
+                    accept_pos = (dVexp >= 0.0) & (
+                        (d1 < s.th_grad) | (dV > s.th_acceptstep * dVexp))
+                    accept_neg = (dVexp < 0.0) & (dV > s.th_acceptnegstep * dVexp)
+                    accept = finite & (accept_pos | accept_neg)
+                else:
+                    dVexp = alpha * (dg + 0.5 * alpha * dq)
+                    finite = jnp.isfinite(cost_t) & jnp.all(jnp.isfinite(xs_t), axis=(0, 1))
+                    accept = finite & (dVexp >= 0.0) & (
+                        (dg < s.th_grad) | (~feasible) | (dV > s.th_acceptstep * dVexp))
                 take = accept & pred
                 return (
                     i + pred.astype(jnp.int32),

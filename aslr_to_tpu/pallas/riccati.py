@@ -388,24 +388,23 @@ def _fddp_chunk_call(Tc, nu, nb, interpret, add_reg, dtype, Bp, args):
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("nu", "nb", "t_chunk", "interpret"))
-def riccati_fddp_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
-                          fs, reg, nu: int = 2, nb: int = 128, t_chunk: int = 25,
-                          interpret: bool = False) -> FddpBackwardOut:
-    """Batched fused FDDP backward pass (batch-major inputs, fs [B,T+1,8])."""
-    B, T = Fx.shape[0], Fx.shape[1]
-    dtype = Fx.dtype
-    Bp = ((B + nb - 1) // nb) * nb
+def riccati_fddp_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
+                                tLx_l, tLxx_l, fs_l, reg,
+                                nu: int = 2, nb: int = 128, t_chunk: int = 25,
+                                interpret: bool = False) -> FddpBackwardOut:
+    """Lane-IO fused FDDP backward: no batch-major transposes.
 
-    def to_lanes(x):
-        x = _pad_to(x, Bp, 0)
-        perm = tuple(range(1, x.ndim)) + (0,)
-        return jnp.transpose(x, perm)
-
-    Fx_l, Fu_l, Lx_l, Lu_l = map(to_lanes, (Fx, Fu, Lx, Lu))
-    Lxx_l, Lxu_l, Luu_l = map(to_lanes, (Lxx, Lxu, Luu))
-    tLx_l, tLxx_l, fs_l = map(to_lanes, (term_Lx, term_Lxx, fs))
-    reg_l = jnp.concatenate([reg, jnp.ones(Bp - B, dtype=dtype)])[None, :]
+    Inputs already in lane layout (trailing dim Bp, a multiple of ``nb``):
+    Fx_l [T,8,8,Bp], Fu_l [T,8,nu,Bp], Lx_l [T,8,Bp], Lu_l [T,nu,Bp],
+    Lxx_l [T,8,8,Bp], Lxu_l [T,8,nu,Bp], Luu_l [T,nu,nu,Bp],
+    tLx_l [8,Bp], tLxx_l [8,8,Bp], fs_l [T+1,8,Bp], reg [Bp]. Returns a
+    :class:`FddpBackwardOut` whose k/K/Vxx stay in lane layout
+    ([T,nu,Bp] / [T,nu,8,Bp] / [T+1,8,8,Bp]); stats are [Bp] vectors.
+    """
+    T = Fx_l.shape[0]
+    dtype = Fx_l.dtype
+    Bp = Fx_l.shape[-1]
+    reg_l = reg[None, :]
 
     n_chunks = (T + t_chunk - 1) // t_chunk
     carry_Vx, carry_Vxx = tLx_l, tLxx_l
@@ -433,16 +432,46 @@ def riccati_fddp_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
     k_l = jnp.concatenate(ks[::-1], axis=0)
     K_l = jnp.concatenate(Ks[::-1], axis=0)
     Vxx_l = jnp.concatenate(Vxxs[::-1], axis=0)       # [T+1, 8, 8, Bp]
-    k = jnp.transpose(k_l, (2, 0, 1))[:B]
-    K = jnp.transpose(K_l, (3, 0, 1, 2))[:B]
-    Vxx = jnp.transpose(Vxx_l, (3, 0, 1, 2))[:B]
     n_chunks_f = float(n_chunks)
     return FddpBackwardOut(
+        k=k_l, K=K_l, Vxx=Vxx_l,
+        dg=stats_acc[0], dq=stats_acc[1], stop=stats_acc[2],
+        dg_gap=stats_acc[4], dq_gap=stats_acc[5],
+        ok=stats_acc[3] > (n_chunks_f - 0.5),
+        retryable=stats_acc[6] > 0.5,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nu", "nb", "t_chunk", "interpret"))
+def riccati_fddp_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
+                          fs, reg, nu: int = 2, nb: int = 128, t_chunk: int = 25,
+                          interpret: bool = False) -> FddpBackwardOut:
+    """Batched fused FDDP backward pass (batch-major inputs, fs [B,T+1,8])."""
+    B = Fx.shape[0]
+    dtype = Fx.dtype
+    Bp = ((B + nb - 1) // nb) * nb
+
+    def to_lanes(x):
+        x = _pad_to(x, Bp, 0)
+        perm = tuple(range(1, x.ndim)) + (0,)
+        return jnp.transpose(x, perm)
+
+    Fx_l, Fu_l, Lx_l, Lu_l = map(to_lanes, (Fx, Fu, Lx, Lu))
+    Lxx_l, Lxu_l, Luu_l = map(to_lanes, (Lxx, Lxu, Luu))
+    tLx_l, tLxx_l, fs_l = map(to_lanes, (term_Lx, term_Lxx, fs))
+    reg_p = jnp.concatenate([reg, jnp.ones(Bp - B, dtype=dtype)])
+
+    out = riccati_fddp_backward_lanes(
+        Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l, tLx_l, tLxx_l, fs_l,
+        reg_p, nu=nu, nb=nb, t_chunk=t_chunk, interpret=interpret)
+    k = jnp.transpose(out.k, (2, 0, 1))[:B]
+    K = jnp.transpose(out.K, (3, 0, 1, 2))[:B]
+    Vxx = jnp.transpose(out.Vxx, (3, 0, 1, 2))[:B]
+    return FddpBackwardOut(
         k=k, K=K, Vxx=Vxx,
-        dg=stats_acc[0, :B], dq=stats_acc[1, :B], stop=stats_acc[2, :B],
-        dg_gap=stats_acc[4, :B], dq_gap=stats_acc[5, :B],
-        ok=stats_acc[3, :B] > (n_chunks_f - 0.5),
-        retryable=stats_acc[6, :B] > 0.5,
+        dg=out.dg[:B], dq=out.dq[:B], stop=out.stop[:B],
+        dg_gap=out.dg_gap[:B], dq_gap=out.dq_gap[:B],
+        ok=out.ok[:B], retryable=out.retryable[:B],
     )
 
 

@@ -37,17 +37,28 @@ def make_batched_solver(
     :func:`sharded_solve`) to scale across a mesh. ``use_fast_path``
     activates the fused Pallas kernels; the string ``"lanes"`` selects the
     lane-layout end-to-end solver (pallas/lane_solver.py — the whole loop
-    stays in lane layout, zero per-iteration relayouts; Box no-gaps
-    problems without warm start only).
+    stays in lane layout, zero per-iteration relayouts; covers BoxDDP,
+    FDDP, and DDP; BoxFDDP uses the standard path).
     """
     if use_fast_path == "lanes":
         from ..pallas.lane_solver import build_lane_solver
 
-        if use_gaps or bounds is None or warm_start:
+        if use_gaps and bounds is not None:
             raise ValueError(
-                "lane solver covers the no-gaps Box family without warm start; "
-                "use use_fast_path=True for other configurations")
-        return build_lane_solver(problem, settings, bounds)
+                "lane solver covers BoxDDP, FDDP, and DDP; "
+                "use use_fast_path=True for BoxFDDP")
+        lane = build_lane_solver(problem, settings, bounds, use_gaps=use_gaps)
+        if not warm_start:
+            return lane
+
+        def solve_warm(x0s):
+            # quasi-static warm start computed batch-major (cheap, once per
+            # solve); the solver loop itself stays in lane layout
+            xs0 = jnp.broadcast_to(x0s[:, None, :], (x0s.shape[0], problem.T + 1) + x0s.shape[1:])
+            us0 = jax.vmap(lambda xs: problem.quasi_static(xs[:-1]))(xs0)
+            return lane(x0s, xs0, us0)
+
+        return jax.jit(solve_warm)
 
     fast = None
     if use_fast_path:

@@ -26,35 +26,57 @@ BATCH = _env_int("BENCH_BATCH", "2048")
 MAXITER = _env_int("BENCH_MAXITER", "20")
 T = _env_int("BENCH_T", "100")
 REPS = _env_int("BENCH_REPS", "3")
+# "vsa" (default, the driver metric: BoxDDP) or "sea" (FDDP family)
+WORKLOAD = os.environ.get("BENCH_WORKLOAD", "vsa")
 BASELINE_SOLVES_PER_S = 1000.0
 
 
 def main():
+    global T0
+    T0 = time.perf_counter()
     import jax
     import jax.numpy as jnp
 
     from aslr_to_tpu.parallel.batch import make_batched_solver
     from aslr_to_tpu.solvers.ddp import SolverSettings
-    from aslr_to_tpu.workloads.presets import two_dof_vsa_boxddp
+    from aslr_to_tpu.workloads.presets import two_dof_sea, two_dof_vsa_boxddp
+
+    # claim the device with a trivial sync first: the tunneled TPU
+    # intermittently stalls for minutes on the first blocking call of a
+    # process (measured 519s once); doing it here attributes the stall to
+    # this labeled phase instead of poisoning the build/compile timings
+    jax.block_until_ready(jnp.zeros(()) + 1.0)
+    print(f"[bench] device claimed at +{time.perf_counter() - T0:.1f}s",
+          file=sys.stderr, flush=True)
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    w = two_dof_vsa_boxddp(T=T, dtype=dtype)
+    if WORKLOAD == "sea":
+        w = two_dof_sea(T=T, dtype=dtype)
+        use_gaps, bounds, label = True, None, "FDDP solves/s/chip (2-DoF SEA"
+    else:
+        w = two_dof_vsa_boxddp(T=T, dtype=dtype)
+        use_gaps, bounds, label = False, w.bounds, "BoxDDP solves/s/chip (2-DoF VSA"
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     # lane-layout end-to-end solver (zero per-iteration relayouts); falls
     # back to the standard fused path if the problem shape is unsupported
     use_lanes = use_pallas and os.environ.get("BENCH_LANES", "1") == "1"
     settings = SolverSettings(maxiter=MAXITER, th_stop=1e-5, use_pallas_backward=use_pallas)
+    t_setup = time.perf_counter()
+    print(f"[bench] setup done at +{t_setup - T0:.1f}s (workload={WORKLOAD}, "
+          f"lanes={use_lanes})", file=sys.stderr, flush=True)
     fn = None
     if use_lanes:
         try:
-            fn = make_batched_solver(w.problem, settings, use_gaps=False, bounds=w.bounds,
+            fn = make_batched_solver(w.problem, settings, use_gaps=use_gaps, bounds=bounds,
                                      use_fast_path="lanes")
         except Exception as e:
             print(f"[bench] lane solver unavailable ({type(e).__name__}: {e}); "
                   "using standard fast path", file=sys.stderr)
     if fn is None:
-        fn = make_batched_solver(w.problem, settings, use_gaps=False, bounds=w.bounds,
+        fn = make_batched_solver(w.problem, settings, use_gaps=use_gaps, bounds=bounds,
                                  use_fast_path=use_pallas)
+    print(f"[bench] solver built at +{time.perf_counter() - T0:.1f}s",
+          file=sys.stderr, flush=True)
 
     nx = w.problem.state.nx
     x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (BATCH, nx), dtype=dtype)
@@ -74,7 +96,7 @@ def main():
 
     solves_per_s = BATCH * REPS / elapsed
     print(json.dumps({
-        "metric": f"batched BoxDDP solves/s/chip (2-DoF VSA, T={T}, maxiter={MAXITER}, batch={BATCH})",
+        "metric": f"batched {label}, T={T}, maxiter={MAXITER}, batch={BATCH})",
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 4),
