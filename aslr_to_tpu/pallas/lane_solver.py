@@ -22,7 +22,7 @@ loops below implement the same per-element predicates explicitly (see
 ``_sel``). Bit-checked against the vmapped reference in float64
 interpret mode (tests/test_lane_solver.py).
 
-Scope: three of the four solver families on problems covered by
+Scope: all four solver families on problems covered by
 :func:`.vsa_kernels.extract_vsa_spec`:
 
   - BoxDDP (bounds, no gaps) — the flagship/bench workload, reference
@@ -30,9 +30,10 @@ Scope: three of the four solver families on problems covered by
   - FDDP (gaps, unbounded) — the SEA reach / pendulum family, reference
     ``examples/two_dof_sea.py:69`` (gap-aware backward kernel, deflected
     Vx, dv-corrected expected improvement, gap-contracting rollouts);
-  - DDP (no gaps, unbounded) — the FDDP kernel with zero gaps.
-
-BoxFDDP (gaps + bounds) uses the standard ``vmap(solve)`` path.
+  - DDP (no gaps, unbounded) — the FDDP kernel with zero gaps;
+  - BoxFDDP (gaps + bounds) — the deflected recursion with the masked
+    BoxQP gain partition (riccati.riccati_boxfddp_backward_lanes),
+    clamped gap-contracting rollouts.
 """
 from __future__ import annotations
 
@@ -43,7 +44,12 @@ import jax.numpy as jnp
 
 from ..solvers.ddp import Bounds, SolveLog, SolveResult, SolverSettings
 from ..solvers.problem import ShootingProblem
-from .riccati import riccati_box_backward_lanes, riccati_fddp_backward_lanes
+from ..utils.vma import pvary_like
+from .riccati import (
+    riccati_box_backward_lanes,
+    riccati_boxfddp_backward_lanes,
+    riccati_fddp_backward_lanes,
+)
 from .vsa_kernels import NDX, build_linearize, build_rollout, extract_vsa_spec
 
 
@@ -77,9 +83,6 @@ def build_lane_solver(
     jit). ``x0s`` is [B, nx] batch-major; the result is batch-major with
     an empty per-iteration log (use the standard path for logging runs).
     """
-    if use_gaps and bounds is not None:
-        raise ValueError("lane solver covers BoxDDP, FDDP, and DDP; "
-                         "BoxFDDP uses the standard vmap(solve) path")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     s = settings
@@ -93,11 +96,11 @@ def build_lane_solver(
         lb = jnp.asarray(bounds.lb)
         ub = jnp.asarray(bounds.ub)
 
-    def solve_batch(x0s, xs_init=None, us_init=None):
+    def solve_batch(x0s, xs_init=None, us_init=None, wterm_scale=None):
         with jax.default_matmul_precision("float32"):
-            return _impl(x0s, xs_init, us_init)
+            return _impl(x0s, xs_init, us_init, wterm_scale)
 
-    def _impl(x0s, xs_init, us_init):
+    def _impl(x0s, xs_init, us_init, wterm_scale):
         B = x0s.shape[0]
         dtype = x0s.dtype
         Bp = ((B + nb - 1) // nb) * nb
@@ -119,7 +122,11 @@ def build_lane_solver(
             us0 = jnp.clip(us0, lb.astype(dtype)[None, :, None], ub.astype(dtype)[None, :, None])
             lb_l = jnp.broadcast_to(lb.astype(dtype)[:, None], (nu, Bp))
             ub_l = jnp.broadcast_to(ub.astype(dtype)[:, None], (nu, Bp))
+        # terminal goal weight as a runtime lane input; ``wterm_scale`` (a
+        # traced scalar) ramps it for homotopy stages without recompiling
         wterm_l = jnp.full((1, Bp), spec.w_goal_term, dtype)
+        if wterm_scale is not None:
+            wterm_l = wterm_l * jnp.asarray(wterm_scale, dtype)
         zeros_fs = jnp.zeros((T + 1, NDX, Bp), dtype)
         zeros_1B = jnp.zeros((1, Bp), dtype)
 
@@ -127,27 +134,39 @@ def build_lane_solver(
         inf = jnp.full((Bp,), jnp.inf, dtype)
         pad_mask = jnp.arange(Bp) >= B                      # padding lanes never run
 
-        init = _LaneState(
+        # carries cast to x0's varying axes: the lane loop runs under
+        # shard_map with the varying-manual-axes check ON (utils/vma.py)
+        init = pvary_like(_LaneState(
             xs=xs0, us=us0, cost=inf, stop=inf,
             reg=jnp.full((Bp,), s.reg_init, dtype),
             it=jnp.zeros((Bp,), jnp.int32),
             done=pad_mask,
             converged=jnp.zeros((Bp,), bool),
             diverged=jnp.zeros((Bp,), bool),
-        )
+        ), x0_l)
 
         def backward(run, term, us_l, fs_l, reg):
-            if boxed:
-                return riccati_box_backward_lanes(
+            if boxed and use_gaps:
+                out = riccati_boxfddp_backward_lanes(
+                    run["Fx"], run["Fu"], run["Lx"], run["Lu"],
+                    run["Lxx"], run["Lxu"], run["Luu"],
+                    term["Lx"], term["Lxx"], fs_l, us_l, lb_l, ub_l, reg,
+                    qp_iters=s.boxqp_iters, nb=nb, interpret=interpret)
+            elif boxed:
+                out = riccati_box_backward_lanes(
                     run["Fx"], run["Fu"], run["Lx"], run["Lu"],
                     run["Lxx"], run["Lxu"], run["Luu"],
                     term["Lx"], term["Lxx"], us_l, lb_l, ub_l, reg,
                     qp_iters=s.boxqp_iters, nb=nb, interpret=interpret)
-            return riccati_fddp_backward_lanes(
-                run["Fx"], run["Fu"], run["Lx"], run["Lu"],
-                run["Lxx"], run["Lxu"], run["Luu"],
-                term["Lx"], term["Lxx"], fs_l, reg,
-                nu=nu, nb=nb, interpret=interpret)
+            else:
+                out = riccati_fddp_backward_lanes(
+                    run["Fx"], run["Fu"], run["Lx"], run["Lu"],
+                    run["Lxx"], run["Lxu"], run["Luu"],
+                    term["Lx"], term["Lxx"], fs_l, reg,
+                    nu=nu, nb=nb, interpret=interpret)
+            # fresh-zero slots (unused dg_gap/Vxx) must match the varying
+            # retry-loop carry under shard_map (utils/vma.py)
+            return pvary_like(out, us_l)
 
         def body(st: _LaneState) -> _LaneState:
             active = ~st.done
@@ -190,7 +209,8 @@ def build_lane_solver(
                 return reg2, bw_m, tries + pred.astype(jnp.int32)
 
             reg, bw, _ = jax.lax.while_loop(
-                bw_cond, bw_body, (st.reg, bw0, jnp.zeros((Bp,), jnp.int32)))
+                bw_cond, bw_body,
+                pvary_like((st.reg, bw0, jnp.zeros((Bp,), jnp.int32)), st.xs))
             bw_failed = ~bw.ok
 
             # -- expected improvement model (gap-aware, FDDP) --------------
@@ -218,8 +238,9 @@ def build_lane_solver(
                 dV = cost - cost_t
                 if use_gaps:
                     # dv correction (Crocoddyl FDDP::expectedImprovement):
-                    # dv = -sum_t fs_t . (Vxx_t dx_t), dx_t = xs_try (-) xs.
-                    dx = xs_t - st.xs
+                    # dv = -sum_t fs_t . (Vxx_t dx_t), dx_t = xs (-) xs_try
+                    # (state.diff(xs_t, st.xs) in solvers/ddp.py = st.xs - xs_t).
+                    dx = st.xs - xs_t
                     dv = -jnp.einsum("tib,tijb,tjb->b", fs_l, bw.Vxx, dx) * infeas_f
                     d1 = dg + dv
                     d2 = dq - 2.0 * dv
@@ -244,8 +265,9 @@ def build_lane_solver(
                     jnp.where(take, alpha, alpha_b),
                 )
 
-            ls0 = (jnp.zeros((Bp,), jnp.int32), st.done | bw_failed,
-                   st.xs, st.us, cost, jnp.zeros((Bp,), dtype))
+            ls0 = pvary_like(
+                (jnp.zeros((Bp,), jnp.int32), st.done | bw_failed,
+                 st.xs, st.us, cost, jnp.zeros((Bp,), dtype)), st.xs)
             _, any_accept, xs_new, us_new, cost_new, alpha_sel = jax.lax.while_loop(
                 ls_cond, ls_body, ls0)
 
@@ -289,3 +311,46 @@ def build_lane_solver(
         )
 
     return jax.jit(solve_batch, static_argnames=())
+
+
+def build_lane_homotopy(
+    problem: ShootingProblem,
+    settings: SolverSettings = SolverSettings(),
+    bounds: Optional[Bounds] = None,
+    nb: int = 128,
+    interpret: Optional[bool] = None,
+    use_gaps: bool = False,
+    scales=None,
+):
+    """Lane-resident terminal-weight continuation (solvers/homotopy.py
+    semantics): each stage runs the whole lane solver at a scaled terminal
+    goal weight and warm-starts the next from its solution. The scale is a
+    runtime lane input, so all stages share ONE compiled lane program;
+    ``settings.maxiter`` is the per-stage budget."""
+    from ..solvers.homotopy import DEFAULT_SCALES
+
+    if scales is None:
+        scales = DEFAULT_SCALES
+    lane = build_lane_solver(problem, settings, bounds, nb=nb,
+                             interpret=interpret, use_gaps=use_gaps)
+    T = problem.T
+    nu = problem.nu
+
+    def solve_batch(x0s, xs_init=None, us_init=None):
+        B = x0s.shape[0]
+        dtype = x0s.dtype
+        xs0 = (jnp.broadcast_to(x0s[:, None, :], (B, T + 1) + x0s.shape[1:])
+               if xs_init is None else jnp.asarray(xs_init, dtype))
+        us0 = (jnp.zeros((B, T, nu), dtype) if us_init is None
+               else jnp.asarray(us_init, dtype))
+        scale_arr = jnp.asarray(list(scales), dtype=dtype)
+
+        def stage(carry, scale):
+            xs, us = carry
+            res = lane(x0s, xs, us, wterm_scale=scale)
+            return (res.xs, res.us), res
+
+        (_, _), results = jax.lax.scan(stage, (xs0, us0), scale_arr)
+        return jax.tree.map(lambda a: a[-1], results)
+
+    return jax.jit(solve_batch)

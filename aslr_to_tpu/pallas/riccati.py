@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.vma import out_structs
+
 NDX = 8   # soft 2-DoF state tangent dim
 NU = 4    # VSA control dim
 
@@ -338,6 +340,105 @@ def _riccati_fddp_kernel(T, nu, add_reg_to_carry,
     cVxx_ref[:] = Vxx_s[:]
 
 
+def _riccati_boxfddp_kernel(T, nu, qp_iters, add_reg_to_carry,
+                            Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
+                            tLx_ref, tLxx_ref, fs_ref, us_ref, lb_ref, ub_ref, reg_ref,
+                            k_ref, K_ref, Vxx_all_ref, stats_ref, cVx_ref, cVxx_ref,
+                            Vx_s, Vxx_s):
+    """BoxFDDP backward chunk (Crocoddyl ``SolverBoxFDDP``): the FDDP
+    deflected value recursion + gap accumulators with the per-knot masked
+    BoxQP / free-clamped gain partition of the Box kernel."""
+    dtype = Fx_ref.dtype
+    NB = Fx_ref.shape[-1]
+    eye8 = jnp.eye(NDX, dtype=dtype)[:, :, None]
+    eyeu = jnp.eye(nu, dtype=dtype)[:, :, None]
+    reg = reg_ref[0]
+    zeros = jnp.zeros((NB,), dtype=dtype)
+    lb = lb_ref[:]
+    ub = ub_ref[:]
+
+    if add_reg_to_carry:
+        VxxT = tLxx_ref[:] + eye8 * reg[None, None, :]
+        fsT = fs_ref[T]
+        VxT = tLx_ref[:] + _matvec(VxxT, fsT)
+        Vxx_s[:] = VxxT
+        Vx_s[:] = VxT
+        Vxx_all_ref[T] = VxxT
+        dg_gap0 = -jnp.sum(VxT * fsT, axis=0)
+        dq_gap0 = jnp.sum(fsT * _matvec(VxxT, fsT), axis=0)
+    else:
+        Vxx_s[:] = tLxx_ref[:]
+        Vx_s[:] = tLx_ref[:]
+        dg_gap0 = zeros
+        dq_gap0 = zeros
+
+    def body(i, carry):
+        dg, dq, stop, dg_gap, dq_gap, indef = carry
+        t = T - 1 - i
+        Fx = Fx_ref[t]
+        Fu = Fu_ref[t]
+        Vx = Vx_s[:]
+        Vxx = Vxx_s[:]
+
+        Qx = Lx_ref[t] + _matvec_t(Fx, Vx)
+        Qu = Lu_ref[t] + _matvec_t(Fu, Vx)
+        FxTVxx = _matmul_t_left(Fx, Vxx)
+        Qxx = Lxx_ref[t] + _matmul(FxTVxx, Fx)
+        Qxu = Lxu_ref[t] + _matmul(FxTVxx, Fu)
+        FuTVxx = _matmul_t_left(Fu, Vxx)
+        Quu = Luu_ref[t] + _matmul(FuTVxx, Fu) + eyeu * reg[None, None, :]
+
+        u_t = us_ref[t]
+        low = lb - u_t
+        up = ub - u_t
+        du, free = _boxqp_lanes(Quu, Qu, low, up, qp_iters)
+        k = -du
+        QxuT = _transpose12(Qxu)
+        K = _masked_chol_solve(Quu, free, QxuT)
+
+        Quuk = _matvec(Quu, k)
+        Vx_new = Qx + _matvec_t(K, Quuk) - 2.0 * _matvec_t(K, Qu)
+        Vxx_new = Qxx - _matmul(Qxu, K)
+        Vxx_new = 0.5 * (Vxx_new + _transpose12(Vxx_new)) + eye8 * reg[None, None, :]
+        fs_t = fs_ref[t]
+        Vx_new = Vx_new + _matvec(Vxx_new, fs_t)   # FDDP deflection
+
+        Vx_s[:] = Vx_new
+        Vxx_s[:] = Vxx_new
+        k_ref[t] = k
+        K_ref[t] = K
+        Vxx_all_ref[t] = Vxx_new
+
+        quu_ok = jnp.all(jnp.isfinite(Quu), axis=(0, 1))
+        out_ok = (jnp.all(jnp.isfinite(k), axis=0)
+                  & jnp.all(jnp.isfinite(K), axis=(0, 1))
+                  & jnp.all(jnp.isfinite(Vx_new), axis=0)
+                  & jnp.all(jnp.isfinite(Vxx_new), axis=(0, 1)))
+        indef = jnp.maximum(indef, (quu_ok & ~out_ok).astype(dtype))
+
+        dg = dg + jnp.sum(Qu * k, axis=0)
+        dq = dq - jnp.sum(k * Quuk, axis=0)
+        stop = stop + jnp.sum(Qu * Qu, axis=0)
+        dg_gap = dg_gap - jnp.sum(Vx_new * fs_t, axis=0)
+        dq_gap = dq_gap + jnp.sum(fs_t * _matvec(Vxx_new, fs_t), axis=0)
+        return dg, dq, stop, dg_gap, dq_gap, indef
+
+    dg, dq, stop, dg_gap, dq_gap, indef = jax.lax.fori_loop(
+        0, T, body, (zeros, zeros, zeros, dg_gap0, dq_gap0, zeros))
+    ok = (jnp.isfinite(dg) & jnp.isfinite(stop)
+          & jnp.all(jnp.isfinite(Vx_s[:]), axis=0)).astype(dtype)
+    stats_ref[0] = dg
+    stats_ref[1] = dq
+    stats_ref[2] = stop
+    stats_ref[3] = ok
+    stats_ref[4] = dg_gap
+    stats_ref[5] = dq_gap
+    stats_ref[6] = indef
+    stats_ref[7] = zeros
+    cVx_ref[:] = Vx_s[:]
+    cVxx_ref[:] = Vxx_s[:]
+
+
 class FddpBackwardOut(NamedTuple):
     k: jnp.ndarray        # [B, T, nu]
     K: jnp.ndarray        # [B, T, nu, 8]
@@ -372,14 +473,14 @@ def _fddp_chunk_call(Tc, nu, nb, interpret, add_reg, dtype, Bp, args):
         ],
         out_specs=[spec(Tc, nu), spec(Tc, nu, NDX), spec(Tc + 1, NDX, NDX), spec(8),
                    spec(NDX), spec(NDX, NDX)],
-        out_shape=[
+        out_shape=out_structs([
             jax.ShapeDtypeStruct((Tc, nu, Bp), dtype),
             jax.ShapeDtypeStruct((Tc, nu, NDX, Bp), dtype),
             jax.ShapeDtypeStruct((Tc + 1, NDX, NDX, Bp), dtype),
             jax.ShapeDtypeStruct((8, Bp), dtype),
             jax.ShapeDtypeStruct((NDX, Bp), dtype),
             jax.ShapeDtypeStruct((NDX, NDX, Bp), dtype),
-        ],
+        ], args[0]),
         scratch_shapes=[
             pltpu.VMEM((NDX, nb), dtype),
             pltpu.VMEM((NDX, NDX, nb), dtype),
@@ -439,6 +540,131 @@ def riccati_fddp_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
         dg_gap=stats_acc[4], dq_gap=stats_acc[5],
         ok=stats_acc[3] > (n_chunks_f - 0.5),
         retryable=stats_acc[6] > 0.5,
+    )
+
+
+def _boxfddp_chunk_call(Tc, nu, qp_iters, nb, interpret, add_reg, dtype, Bp, args):
+    grid = (Bp // nb,)
+
+    def spec(*dims):
+        block = dims + (nb,)
+        ndim = len(block)
+        return pl.BlockSpec(block, lambda b: (0,) * (ndim - 1) + (b,), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_riccati_boxfddp_kernel, Tc, nu, qp_iters, add_reg)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            spec(Tc, NDX, NDX), spec(Tc, NDX, nu), spec(Tc, NDX), spec(Tc, nu),
+            spec(Tc, NDX, NDX), spec(Tc, NDX, nu), spec(Tc, nu, nu),
+            spec(NDX), spec(NDX, NDX), spec(Tc + 1, NDX),
+            spec(Tc, nu), spec(nu), spec(nu), spec(1),
+        ],
+        out_specs=[spec(Tc, nu), spec(Tc, nu, NDX), spec(Tc + 1, NDX, NDX), spec(8),
+                   spec(NDX), spec(NDX, NDX)],
+        out_shape=out_structs([
+            jax.ShapeDtypeStruct((Tc, nu, Bp), dtype),
+            jax.ShapeDtypeStruct((Tc, nu, NDX, Bp), dtype),
+            jax.ShapeDtypeStruct((Tc + 1, NDX, NDX, Bp), dtype),
+            jax.ShapeDtypeStruct((8, Bp), dtype),
+            jax.ShapeDtypeStruct((NDX, Bp), dtype),
+            jax.ShapeDtypeStruct((NDX, NDX, Bp), dtype),
+        ], args[0]),
+        scratch_shapes=[
+            pltpu.VMEM((NDX, nb), dtype),
+            pltpu.VMEM((NDX, NDX, nb), dtype),
+        ],
+        interpret=interpret,
+    )(*args)
+
+
+def riccati_boxfddp_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
+                                   tLx_l, tLxx_l, fs_l, us_l, lb_l, ub_l, reg,
+                                   qp_iters: int = _QP_ITERS, nb: int = 128,
+                                   t_chunk: int = 25,
+                                   interpret: bool = False) -> FddpBackwardOut:
+    """Lane-IO fused BoxFDDP backward (gaps + bounds): FDDP deflected value
+    recursion + gap accumulators with the masked BoxQP gain partition.
+    Same layout contract as :func:`riccati_fddp_backward_lanes` plus
+    us_l [T,nu,Bp] and lb_l/ub_l [nu,Bp]."""
+    T = Fx_l.shape[0]
+    dtype = Fx_l.dtype
+    Bp = Fx_l.shape[-1]
+    nu = Fu_l.shape[2]
+    reg_l = reg[None, :]
+
+    n_chunks = (T + t_chunk - 1) // t_chunk
+    carry_Vx, carry_Vxx = tLx_l, tLxx_l
+    add_reg = True
+    ks, Ks, Vxxs, stats_acc = [], [], [], None
+    for c in range(n_chunks - 1, -1, -1):
+        lo = c * t_chunk
+        hi = min(T, lo + t_chunk)
+        Tc = hi - lo
+        out = _boxfddp_chunk_call(
+            Tc, nu, qp_iters, nb, interpret, add_reg, dtype, Bp,
+            (Fx_l[lo:hi], Fu_l[lo:hi], Lx_l[lo:hi], Lu_l[lo:hi],
+             Lxx_l[lo:hi], Lxu_l[lo:hi], Luu_l[lo:hi],
+             carry_Vx, carry_Vxx, fs_l[lo:hi + 1],
+             us_l[lo:hi], lb_l, ub_l, reg_l))
+        k_c, K_c, Vxx_c, stats_c, carry_Vx, carry_Vxx = out
+        if add_reg:
+            Vxxs.append(Vxx_c)
+        else:
+            Vxxs.append(Vxx_c[:Tc])
+        add_reg = False
+        ks.append(k_c)
+        Ks.append(K_c)
+        stats_acc = stats_c if stats_acc is None else stats_acc + stats_c
+
+    k_l = jnp.concatenate(ks[::-1], axis=0)
+    K_l = jnp.concatenate(Ks[::-1], axis=0)
+    Vxx_l = jnp.concatenate(Vxxs[::-1], axis=0)
+    n_chunks_f = float(n_chunks)
+    return FddpBackwardOut(
+        k=k_l, K=K_l, Vxx=Vxx_l,
+        dg=stats_acc[0], dq=stats_acc[1], stop=stats_acc[2],
+        dg_gap=stats_acc[4], dq_gap=stats_acc[5],
+        ok=stats_acc[3] > (n_chunks_f - 0.5),
+        retryable=stats_acc[6] > 0.5,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("qp_iters", "nb", "t_chunk", "interpret"))
+def riccati_boxfddp_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
+                             fs, us, lb, ub, reg, qp_iters: int = _QP_ITERS,
+                             nb: int = 128, t_chunk: int = 25,
+                             interpret: bool = False) -> FddpBackwardOut:
+    """Batched fused BoxFDDP backward (batch-major inputs: fs [B,T+1,8],
+    us [B,T,nu], lb/ub [B,nu])."""
+    B = Fx.shape[0]
+    dtype = Fx.dtype
+    Bp = ((B + nb - 1) // nb) * nb
+
+    def to_lanes(x):
+        x = _pad_to(x, Bp, 0)
+        perm = tuple(range(1, x.ndim)) + (0,)
+        return jnp.transpose(x, perm)
+
+    Fx_l, Fu_l, Lx_l, Lu_l = map(to_lanes, (Fx, Fu, Lx, Lu))
+    Lxx_l, Lxu_l, Luu_l = map(to_lanes, (Lxx, Lxu, Luu))
+    tLx_l, tLxx_l, fs_l = map(to_lanes, (term_Lx, term_Lxx, fs))
+    us_l, lb_l, ub_l = map(to_lanes, (us, lb, ub))
+    reg_p = jnp.concatenate([reg, jnp.ones(Bp - B, dtype=dtype)])
+
+    out = riccati_boxfddp_backward_lanes(
+        Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l, tLx_l, tLxx_l, fs_l,
+        us_l, lb_l, ub_l, reg_p, qp_iters=qp_iters, nb=nb, t_chunk=t_chunk,
+        interpret=interpret)
+    k = jnp.transpose(out.k, (2, 0, 1))[:B]
+    K = jnp.transpose(out.K, (3, 0, 1, 2))[:B]
+    Vxx = jnp.transpose(out.Vxx, (3, 0, 1, 2))[:B]
+    return FddpBackwardOut(
+        k=k, K=K, Vxx=Vxx,
+        dg=out.dg[:B], dq=out.dq[:B], stop=out.stop[:B],
+        dg_gap=out.dg_gap[:B], dq_gap=out.dq_gap[:B],
+        ok=out.ok[:B], retryable=out.retryable[:B],
     )
 
 
@@ -513,13 +739,13 @@ def _chunk_call(Tc, qp_iters, nb, interpret, add_reg, dtype, Bp, args):
             spec(NDX), spec(NDX, NDX), spec(Tc, NU), spec(NU), spec(NU), spec(1),
         ],
         out_specs=[spec(Tc, NU), spec(Tc, NU, NDX), spec(8), spec(NDX), spec(NDX, NDX)],
-        out_shape=[
+        out_shape=out_structs([
             jax.ShapeDtypeStruct((Tc, NU, Bp), dtype),
             jax.ShapeDtypeStruct((Tc, NU, NDX, Bp), dtype),
             jax.ShapeDtypeStruct((8, Bp), dtype),
             jax.ShapeDtypeStruct((NDX, Bp), dtype),
             jax.ShapeDtypeStruct((NDX, NDX, Bp), dtype),
-        ],
+        ], args[0]),
         scratch_shapes=[
             pltpu.VMEM((NDX, nb), dtype),
             pltpu.VMEM((NDX, NDX, nb), dtype),

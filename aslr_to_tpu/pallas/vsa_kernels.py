@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import lanes
 from ..ops.lanes import RobotConsts
+from ..utils.vma import out_structs
 
 NDX = 8
 NU = 4
@@ -310,11 +311,11 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
             in_specs=[spec_nd(T, NDX), spec_nd(T, nu), spec_nd(T, nu), spec_nd(T, nu, NDX),
                       spec_nd(NDX), spec_nd(1), spec_nd(T + 1, NDX), spec_nd(1), spec_nd(1)],
             out_specs=[spec_nd(T + 1, NDX), spec_nd(T, nu), spec_nd(8)],
-            out_shape=[
+            out_shape=out_structs([
                 jax.ShapeDtypeStruct((T + 1, NDX, Bp), dtype),
                 jax.ShapeDtypeStruct((T, nu, Bp), dtype),
                 jax.ShapeDtypeStruct((8, Bp), dtype),
-            ],
+            ], xs_l),
             scratch_shapes=[pltpu.VMEM((NDX, nb), dtype)],
             interpret=interpret,
         )(xs_l[:T], us_l, k_l, K_l, x0_l, alpha_l, fs_l, infeas_l, wterm_l)
@@ -640,7 +641,7 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
             out_specs=[out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NDX), out_spec(NU),
                        out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NU, NU),
                        out_spec(NDX), out_spec(8)],
-            out_shape=[
+            out_shape=out_structs([
                 jax.ShapeDtypeStruct((T, NDX, NDX, Bp), dtype),
                 jax.ShapeDtypeStruct((T, NDX, NU, Bp), dtype),
                 jax.ShapeDtypeStruct((T, NDX, Bp), dtype),
@@ -650,7 +651,7 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
                 jax.ShapeDtypeStruct((T, NU, NU, Bp), dtype),
                 jax.ShapeDtypeStruct((T, NDX, Bp), dtype),
                 jax.ShapeDtypeStruct((T, 8, Bp), dtype),
-            ],
+            ], xs_l),
             interpret=interpret,
         )(xs_l[:T], us_l, wterm_l)
         Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, xnext, costs = outs
@@ -663,7 +664,7 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
             out_specs=[out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NDX), out_spec(NU),
                        out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NU, NU),
                        out_spec(NDX), out_spec(8)],
-            out_shape=[
+            out_shape=out_structs([
                 jax.ShapeDtypeStruct((1, NDX, NDX, Bp), dtype),
                 jax.ShapeDtypeStruct((1, NDX, NU, Bp), dtype),
                 jax.ShapeDtypeStruct((1, NDX, Bp), dtype),
@@ -673,7 +674,7 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
                 jax.ShapeDtypeStruct((1, NU, NU, Bp), dtype),
                 jax.ShapeDtypeStruct((1, NDX, Bp), dtype),
                 jax.ShapeDtypeStruct((1, 8, Bp), dtype),
-            ],
+            ], xs_l),
             interpret=interpret,
         )(xs_l[T:T + 1], us_l[:1] * 0.0, wterm_l)
         tFx, tFu, tLx, tLu, tLxx, tLxu, tLuu, _, tcost = term_outs
@@ -727,6 +728,21 @@ class FastPath(NamedTuple):
     linearize: object   # per-scenario (xs, us, wterm) -> (cost, run ActionDerivs, term ActionDerivs, xnext)
     rollout: object     # per-scenario (xs, us, k, K, x0, alpha, fs, infeas, wterm) -> (xs_try, us_try, cost)
     wterm_of: object    # problem -> runtime terminal goal weight (pytree leaf)
+
+
+def supports_fast_path(problem, bounds=None):
+    """``(ok, reason)``: whether the fused kernels cover this problem.
+
+    The reason string names the first unsupported feature; callers that
+    fall back to the generic XLA path must surface it rather than fail
+    silently (a masked TypeError inside kernel construction once hid a
+    real bug behind a silent slow-path fallback).
+    """
+    try:
+        extract_vsa_spec(problem, bounds)
+        return True, ""
+    except TypeError as e:
+        return False, str(e)
 
 
 def build_fast_path(problem, bounds, nb: int = 128, interpret=None,

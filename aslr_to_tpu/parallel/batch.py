@@ -29,6 +29,7 @@ def make_batched_solver(
     warm_start: bool = False,
     keep_log: bool = False,
     use_fast_path: bool = False,
+    globalization: Optional[str] = None,
 ):
     """Build ``solve_batch(x0s) -> SolveResult`` vmapped over initial states.
 
@@ -37,17 +38,19 @@ def make_batched_solver(
     :func:`sharded_solve`) to scale across a mesh. ``use_fast_path``
     activates the fused Pallas kernels; the string ``"lanes"`` selects the
     lane-layout end-to-end solver (pallas/lane_solver.py — the whole loop
-    stays in lane layout, zero per-iteration relayouts; covers BoxDDP,
-    FDDP, and DDP; BoxFDDP uses the standard path).
+    stays in lane layout, zero per-iteration relayouts; covers all four
+    families: DDP, FDDP, BoxDDP, BoxFDDP). ``globalization="homotopy"``
+    runs the terminal-weight continuation (solvers/homotopy.py) — on the
+    lane path all stages share one compiled lane program
+    (pallas/lane_solver.build_lane_homotopy).
     """
     if use_fast_path == "lanes":
-        from ..pallas.lane_solver import build_lane_solver
+        from ..pallas.lane_solver import build_lane_homotopy, build_lane_solver
 
-        if use_gaps and bounds is not None:
-            raise ValueError(
-                "lane solver covers BoxDDP, FDDP, and DDP; "
-                "use use_fast_path=True for BoxFDDP")
-        lane = build_lane_solver(problem, settings, bounds, use_gaps=use_gaps)
+        if globalization == "homotopy":
+            lane = build_lane_homotopy(problem, settings, bounds, use_gaps=use_gaps)
+        else:
+            lane = build_lane_solver(problem, settings, bounds, use_gaps=use_gaps)
         if not warm_start:
             return lane
 
@@ -77,7 +80,12 @@ def make_batched_solver(
             us0 = p.quasi_static(xs0[:-1])
         else:
             us0 = None
-        res = solve(p, xs0, us0, settings=settings, use_gaps=use_gaps, bounds=bounds, fast=fast)
+        if globalization == "homotopy":
+            from ..solvers.homotopy import homotopy_solve
+            res = homotopy_solve(p, xs0, us0, settings=settings,
+                                 use_gaps=use_gaps, bounds=bounds, fast=fast)
+        else:
+            res = solve(p, xs0, us0, settings=settings, use_gaps=use_gaps, bounds=bounds, fast=fast)
         if not keep_log:
             res = res._replace(log=jax.tree.map(lambda a: jnp.zeros((0,), a.dtype), res.log))
         return res
@@ -93,18 +101,39 @@ def sharded_solve(
     bounds: Optional[Bounds] = None,
     mesh=None,
     axis: str = BATCH_AXIS,
+    use_fast_path=False,
+    warm_start: bool = False,
+    partitioner: str = "shard_map",
 ) -> SolveResult:
     """Solve a scenario batch sharded over a device mesh.
 
-    The batch axis is partitioned across devices by GSPMD — each chip runs
-    its shard of the vmapped solver; XLA inserts no per-iteration
-    collectives (the scenarios are independent), so scaling efficiency is
-    bounded only by batch balance.
+    The batch axis is partitioned across devices — each chip runs its
+    shard of the batched solver; the scenarios are independent, so scaling
+    efficiency is bounded only by batch balance.
+
+    ``partitioner="shard_map"`` (default, all paths): each device runs
+    the whole solver on its local shard — the compiled program contains
+    ZERO collectives (verified by scripts/scaling.py's HLO audit), and
+    Pallas fast paths work (their calls are opaque to GSPMD's automatic
+    partitioner). ``partitioner="gspmd"`` (generic path only) lets XLA
+    partition the global program instead; measured on the 8-device mesh it
+    inserts per-while-iteration all-reduces for the global loop conditions
+    AND all-gathers of the trajectory around the LAPACK triangular-solve
+    custom call (not batch-partitionable) — kept for comparison, not for
+    production.
     """
     mesh = mesh or make_batch_mesh()
     sharding = batch_sharding(mesh, axis)
     x0s = jax.device_put(jnp.asarray(x0s), sharding)
-    fn = make_batched_solver(problem, settings, use_gaps, bounds)
+    if partitioner == "gspmd" and not use_fast_path:
+        fn = make_batched_solver(problem, settings, use_gaps, bounds,
+                                 warm_start=warm_start)
+    else:
+        from .spmd import make_shard_map_solver
+        fn = make_shard_map_solver(problem, settings, use_gaps=use_gaps,
+                                   bounds=bounds, warm_start=warm_start,
+                                   use_fast_path=use_fast_path,
+                                   mesh=mesh, axis=axis)
     return fn(x0s)
 
 

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_solve
 
+from ..utils.vma import pvary_like
+
 
 class BoxQPResult(NamedTuple):
     x: jnp.ndarray        # solution
@@ -102,7 +104,8 @@ def boxqp(
         x_out = jnp.where(done, x, x_new)
         return (x_out, new_done), None
 
-    (x_fin, _), _ = jax.lax.scan(body, (x0, jnp.asarray(False)), None, length=maxiter)
+    (x_fin, _), _ = jax.lax.scan(
+        body, pvary_like((x0, jnp.asarray(False)), q), None, length=maxiter)
 
     g = q + H @ x_fin
     clamped_lo = (x_fin <= lb) & (g >= 0.0)

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_solve
 
+from ..utils.vma import pvary_like
 from .boxqp import boxqp, masked_free_solve
 from .problem import ShootingProblem
 
@@ -185,6 +186,29 @@ def _get_box_backward_core(qp_iters: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
+def _get_boxfddp_backward_core(qp_iters: int, interpret: bool):
+    """custom_vmap wrapper for the BoxFDDP (gaps + bounds) backward:
+    unbatched -> XLA scan; vmapped -> fused Pallas kernel."""
+    from ..pallas.riccati import riccati_boxfddp_backward
+
+    @jax.custom_batching.custom_vmap
+    def core(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, us, lb, ub, reg):
+        return _boxfddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx,
+                                      fs, us, lb, ub, reg, qp_iters)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
+
+        args = tuple(bc(a, b) for a, b in zip(args, in_batched))
+        out = riccati_boxfddp_backward(*args, qp_iters=qp_iters, interpret=interpret)
+        return tuple(out), tuple(True for _ in out)
+
+    return core
+
+
+@functools.lru_cache(maxsize=None)
 def _get_fddp_backward_core(nu: int, interpret: bool):
     """custom_vmap wrapper for the FDDP (unconstrained, gap-aware) backward:
     unbatched -> XLA scan; vmapped -> fused Pallas kernel."""
@@ -253,6 +277,55 @@ def _fddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, reg):
             dg_gap, dq_gap, jnp.all(ok_t), jnp.any(indef_t))
 
 
+def _boxfddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs,
+                           us, lb, ub, reg, qp_iters):
+    """Single-scenario BoxFDDP backward (gaps + bounds) — the fused
+    kernel's XLA reference and unbatched fallback: the FDDP deflected
+    recursion with the per-knot masked BoxQP gain partition. Returns
+    (k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable)."""
+    ndx = Fx.shape[-1]
+    dtype = Fx.dtype
+    nu = Fu.shape[-1]
+    eye_u = jnp.eye(nu, dtype=dtype)
+    eye_x = jnp.eye(ndx, dtype=dtype)
+
+    Vxx_T = tLxx + reg * eye_x
+    Vx_T = tLx + Vxx_T @ fs[-1]
+
+    def body(carry, inp):
+        Vx_n, Vxx_n = carry
+        fx, fu, lx, lu, lxx, lxu, luu, fs_t, u_t = inp
+        Qx = lx + fx.T @ Vx_n
+        Qu = lu + fu.T @ Vx_n
+        FxTVxx = fx.T @ Vxx_n
+        Qxx = lxx + FxTVxx @ fx
+        Qxu = lxu + FxTVxx @ fu
+        Quu = luu + fu.T @ Vxx_n @ fu + reg * eye_u
+        qp = boxqp(Quu, Qu, lb - u_t, ub - u_t, jnp.zeros_like(u_t),
+                   maxiter=qp_iters, n_alphas=5)
+        k = -qp.x
+        K = masked_free_solve(Quu, qp.free, Qxu.T)
+        ok = jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
+        Quuk = Quu @ k
+        Vx = Qx + K.T @ Quuk - 2.0 * (K.T @ Qu)
+        Vxx = Qxx - Qxu @ K
+        Vxx = 0.5 * (Vxx + Vxx.T) + reg * eye_x
+        Vx = Vx + Vxx @ fs_t
+        out_ok = (ok & jnp.all(jnp.isfinite(Vx)) & jnp.all(jnp.isfinite(Vxx)))
+        indef = jnp.all(jnp.isfinite(Quu)) & ~out_ok
+        return (Vx, Vxx), (k, K, Vxx, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu),
+                           -jnp.dot(Vx, fs_t), jnp.dot(fs_t, Vxx @ fs_t), ok, indef)
+
+    (_, _), outs = jax.lax.scan(
+        body, (Vx_T, Vxx_T), (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs[:-1], us), reverse=True)
+    k, K, Vxx_t, dg_t, dq_t, stop_t, dgg_t, dqg_t, ok_t, indef_t = outs
+    Vxx_all = jnp.concatenate([Vxx_t, Vxx_T[None]], axis=0)
+    dg_gap = jnp.sum(dgg_t) - jnp.dot(Vx_T, fs[-1])
+    dq_gap = jnp.sum(dqg_t) + jnp.dot(fs[-1], Vxx_T @ fs[-1])
+    return (k, K, Vxx_all, jnp.sum(dg_t), jnp.sum(dq_t), jnp.sum(stop_t),
+            dg_gap, dq_gap, jnp.all(ok_t), jnp.any(indef_t))
+
+
 def _box_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, us, lb, ub, reg, qp_iters):
     """Single-scenario Box backward (no gaps) — the Pallas kernel's XLA
     reference implementation and unbatched fallback."""
@@ -292,6 +365,15 @@ def _box_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, us, lb, ub, reg
 
 def _backward(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, settings):
     """Riccati sweep, Crocoddyl-faithful (see module docstring)."""
+    # cast up to ``us``'s varying axes: some branches fill unused slots
+    # (dg_gap, Vx) with fresh zeros, which under shard_map would clash
+    # with the varying retry-loop carry (utils/vma.py)
+    return pvary_like(
+        _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps,
+                       bounds, settings), us)
+
+
+def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, settings):
     if (bounds is not None) and (not use_gaps) and settings.use_pallas_backward:
         core = _get_box_backward_core(settings.boxqp_iters, jax.default_backend() != "tpu")
         k, K, dg, dq, stop, ok, retryable = core(
@@ -306,6 +388,19 @@ def _backward(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, setti
         zero = jnp.zeros_like(dg)
         return _Backward(k=k, K=K, Vx=zeros_Vx, Vxx=zeros_Vxx,
                          dg=dg, dq=dq, dg_gap=zero, dq_gap=zero, stop=stop, ok=ok,
+                         retryable=retryable)
+    if (bounds is not None) and use_gaps and settings.use_pallas_backward:
+        core = _get_boxfddp_backward_core(settings.boxqp_iters, jax.default_backend() != "tpu")
+        k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable = core(
+            run_diff.Fx, run_diff.Fu, run_diff.Lx, run_diff.Lu,
+            run_diff.Lxx, run_diff.Lxu, run_diff.Luu,
+            term_diff.Lx, term_diff.Lxx, fs, us, bounds.lb, bounds.ub,
+            jnp.asarray(reg, dtype=us.dtype))
+        T = us.shape[0]
+        ndx = problem.state.ndx
+        zeros_Vx = jnp.zeros((T + 1, ndx), dtype=us.dtype)
+        return _Backward(k=k, K=K, Vx=zeros_Vx, Vxx=Vxx_all,
+                         dg=dg, dq=dq, dg_gap=dg_gap, dq_gap=dq_gap, stop=stop, ok=ok,
                          retryable=retryable)
     if (bounds is None) and use_gaps and settings.use_pallas_backward:
         core = _get_fddp_backward_core(problem.nu, jax.default_backend() != "tpu")
@@ -415,7 +510,8 @@ def _rollout(problem, xs, us, k, K, fs, alpha, gap_scale_on, use_gaps, bounds):
         return (x_next, cost_acc + data.cost), (x_try, u_try)
 
     (xT, cost_acc), (xs_out, us_out) = jax.lax.scan(
-        step, (x0_try, jnp.asarray(0.0, dtype=xs.dtype)), (xs[:-1], us, k, K, fs[1:]))
+        step, pvary_like((x0_try, jnp.asarray(0.0, dtype=xs.dtype)), xs),
+        (xs[:-1], us, k, K, fs[1:]))
     u0 = jnp.zeros(problem.terminal.nu, dtype=xs.dtype)
     cost_try = cost_acc + problem.terminal.calc(xT, u0).cost
     xs_try = jnp.concatenate([xs_out, xT[None]], axis=0)
@@ -469,7 +565,9 @@ def _solve_impl(problem, xs_init, us_init, settings, use_gaps, bounds, fast) -> 
     nan = jnp.asarray(jnp.nan, dtype=dtype)
     log0 = SolveLog(*[jnp.full((s.maxiter,), nan) for _ in range(7)])
 
-    init = _LoopState(
+    # loop carries cast to x0's varying axes so the solver runs under
+    # shard_map with the varying-manual-axes check ON (utils/vma.py)
+    init = pvary_like(_LoopState(
         xs=xs, us=us,
         cost=jnp.asarray(jnp.inf, dtype=dtype),
         stop=jnp.asarray(jnp.inf, dtype=dtype),
@@ -479,7 +577,7 @@ def _solve_impl(problem, xs_init, us_init, settings, use_gaps, bounds, fast) -> 
         converged=jnp.asarray(False),
         diverged=jnp.asarray(False),
         log=log0,
-    )
+    ), x0)
 
     def cond(st: _LoopState):
         return ~st.done
@@ -528,7 +626,8 @@ def _solve_impl(problem, xs_init, us_init, settings, use_gaps, bounds, fast) -> 
                     tries + 1)
 
         reg, bw, _ = jax.lax.while_loop(
-            bw_cond, bw_body, (st.reg, bw0, jnp.asarray(0, jnp.int32)))
+            bw_cond, bw_body,
+            pvary_like((st.reg, bw0, jnp.asarray(0, jnp.int32)), st.xs))
         bw_failed = ~bw.ok
 
         # -- expected improvement model (gap-aware, FDDP) -----------------
@@ -599,8 +698,9 @@ def _solve_impl(problem, xs_init, us_init, settings, use_gaps, bounds, fast) -> 
         # batched line-search trials (their updates are discarded anyway);
         # likewise a failed backward pass yields no usable direction
         # (Crocoddyl aborts the solve before the forward pass there).
-        ls0 = (jnp.asarray(0, jnp.int32), st.done | bw_failed, st.xs, st.us, cost,
-               jnp.asarray(0.0, dtype=dtype))
+        ls0 = pvary_like(
+            (jnp.asarray(0, jnp.int32), st.done | bw_failed, st.xs, st.us, cost,
+             jnp.asarray(0.0, dtype=dtype)), st.xs)
         _, any_accept, xs_new, us_new, cost_new, alpha_sel = jax.lax.while_loop(
             ls_cond, ls_body, ls0)
 

@@ -50,10 +50,11 @@ class Workload(NamedTuple):
     target: Optional[jnp.ndarray]
 
 
-def double_pendulum(T: int = 10, dt: float = 1e-2, dtype=jnp.float64) -> Workload:
+def double_pendulum(T: int = 10, dt: float = 1e-2, dtype=jnp.float64,
+                    robot=None) -> Workload:
     """Soft-actuated double-pendulum swing-up
     (reference ``examples/double_pendulum.py``)."""
-    model = robots.double_pendulum(dtype=dtype)
+    model = robot if robot is not None else robots.double_pendulum(dtype=dtype)
     state = StateASR(model)
     act = ActuationModelDoublePendulum(state, act_link=0, nu_=2)
     nu = act.nu
@@ -85,9 +86,14 @@ def double_pendulum(T: int = 10, dt: float = 1e-2, dtype=jnp.float64) -> Workloa
         maxiter=100, th_stop=1e-9, warm_start=False, ee_frame=None, target=None)
 
 
-def two_dof_sea(T: int = 100, dt: float = 1e-2, dtype=jnp.float64) -> Workload:
-    """2-DoF SEA arm reach (reference ``examples/two_dof_sea.py``)."""
-    model = robots.asr_twodof(dtype=dtype).with_gravity([9.81, 0.0, 0.0])
+def two_dof_sea(T: int = 100, dt: float = 1e-2, dtype=jnp.float64,
+                robot=None) -> Workload:
+    """2-DoF SEA arm reach (reference ``examples/two_dof_sea.py``).
+
+    ``robot`` overrides the registry model (e.g. an inertial-perturbed
+    variant for the parity sensitivity study, docs/PARITY.md)."""
+    model = (robot if robot is not None
+             else robots.asr_twodof(dtype=dtype)).with_gravity([9.81, 0.0, 0.0])
     state = StateASR(model)
     act = ASRActuation(state)
     nu = act.nu
@@ -132,8 +138,10 @@ def _two_dof_vsa(
     xreg_w: float = 1e-1,
     ureg_w: float = 1e-1,
     goal_term_w: float = 4e4,
+    robot=None,
 ) -> Workload:
-    model = robots.asr_twodof(dtype=dtype).with_gravity([9.81, 0.0, 0.0])
+    model = (robot if robot is not None
+             else robots.asr_twodof(dtype=dtype)).with_gravity([9.81, 0.0, 0.0])
     state = StateASR(model)
     act = VSAASRActuation(state)
     nu = 2 * act.nu
@@ -178,22 +186,26 @@ def _two_dof_vsa(
         maxiter=400, th_stop=1e-7, warm_start=False, ee_frame=ee, target=target)
 
 
-def two_dof_vsa_boxddp(T: int = 200, dt: float = 1e-2, dtype=jnp.float64) -> Workload:
+def two_dof_vsa_boxddp(T: int = 200, dt: float = 1e-2, dtype=jnp.float64,
+                       robot=None) -> Workload:
     """VSA reach with BoxDDP bounds — the north-star config
     (reference ``examples/two_dof_vsa_boxddp.py``: u in [-100,100]^2,
     K in [0,100]^2, T=200, cold start, maxiter 400)."""
-    w = _two_dof_vsa(T, dt, stiffness_cost=False, k_lb=0.0, dtype=dtype)
+    w = _two_dof_vsa(T, dt, stiffness_cost=False, k_lb=0.0, dtype=dtype,
+                     robot=robot)
     return w._replace(name="two_dof_vsa_boxddp")
 
 
-def two_dof_vsa_modified(T: int = 200, dt: float = 1e-2, dtype=jnp.float64) -> Workload:
+def two_dof_vsa_modified(T: int = 200, dt: float = 1e-2, dtype=jnp.float64,
+                         robot=None) -> Workload:
     """VSA with linear stiffness cost and tightened stiffness lower bound
     (reference ``examples/two_dof_vsa_modified.py``: K lower bound 0.002,
     lambda=10 stiffness cost, xReg 1e-3 / uReg 1e-2 with zeroed stiffness
     u-weights, terminal goal 1e4)."""
     w = _two_dof_vsa(
         T, dt, stiffness_cost=True, k_lb=0.002, dtype=dtype,
-        u_weights=[1.0, 1.0, 0.0, 0.0], xreg_w=1e-3, ureg_w=1e-2, goal_term_w=1e4)
+        u_weights=[1.0, 1.0, 0.0, 0.0], xreg_w=1e-3, ureg_w=1e-2, goal_term_w=1e4,
+        robot=robot)
     return w._replace(name="two_dof_vsa_modified")
 
 

@@ -55,12 +55,15 @@ def solve_workload(w: Workload, settings: SolverSettings = None,
         # compile no longer reproduces after the solver-loop rework)
         use_fast_path = jax.default_backend() == "tpu"
     if use_fast_path:
-        try:
-            from ..pallas.vsa_kernels import build_fast_path
+        from ..pallas.vsa_kernels import build_fast_path, supports_fast_path
+        ok, reason = supports_fast_path(p, bounds)
+        if ok:
             fast = build_fast_path(p, bounds, use_gaps=use_gaps)
             settings = SolverSettings(**{**settings.__dict__, "use_pallas_backward": True})
-        except TypeError:
-            fast = None
+        else:
+            import warnings
+            warnings.warn(f"fast path unavailable for this problem ({reason}); "
+                          "using the generic XLA path", stacklevel=2)
 
     def _solve(problem):
         xs0 = jnp.broadcast_to(problem.x0, (p.T + 1,) + problem.x0.shape)

@@ -28,6 +28,7 @@ T = _env_int("BENCH_T", "100")
 REPS = _env_int("BENCH_REPS", "3")
 # "vsa" (default, the driver metric: BoxDDP) or "sea" (FDDP family)
 WORKLOAD = os.environ.get("BENCH_WORKLOAD", "vsa")
+TH_STOP = float(os.environ.get("BENCH_TH_STOP", "1e-5"))
 BASELINE_SOLVES_PER_S = 1000.0
 
 
@@ -60,21 +61,23 @@ def main():
     # lane-layout end-to-end solver (zero per-iteration relayouts); falls
     # back to the standard fused path if the problem shape is unsupported
     use_lanes = use_pallas and os.environ.get("BENCH_LANES", "1") == "1"
-    settings = SolverSettings(maxiter=MAXITER, th_stop=1e-5, use_pallas_backward=use_pallas)
+    settings = SolverSettings(maxiter=MAXITER, th_stop=TH_STOP, use_pallas_backward=use_pallas)
     t_setup = time.perf_counter()
     print(f"[bench] setup done at +{t_setup - T0:.1f}s (workload={WORKLOAD}, "
-          f"lanes={use_lanes})", file=sys.stderr, flush=True)
-    fn = None
+          f"lanes={use_lanes}, th_stop={TH_STOP:g})", file=sys.stderr, flush=True)
+    fn, path = None, "generic"
     if use_lanes:
         try:
             fn = make_batched_solver(w.problem, settings, use_gaps=use_gaps, bounds=bounds,
                                      use_fast_path="lanes")
+            path = "lanes"
         except Exception as e:
             print(f"[bench] lane solver unavailable ({type(e).__name__}: {e}); "
                   "using standard fast path", file=sys.stderr)
     if fn is None:
         fn = make_batched_solver(w.problem, settings, use_gaps=use_gaps, bounds=bounds,
                                  use_fast_path=use_pallas)
+        path = "fast" if use_pallas else "generic"
     print(f"[bench] solver built at +{time.perf_counter() - T0:.1f}s",
           file=sys.stderr, flush=True)
 
@@ -95,11 +98,21 @@ def main():
     elapsed = time.perf_counter() - t0
 
     solves_per_s = BATCH * REPS / elapsed
+    # convergence quality of the timed runs — a "solve" must mean
+    # something (reference defines solved by th_stop, two_dof_sea.py:79-81)
+    from aslr_to_tpu.parallel.batch import convergence_summary
+    summ = convergence_summary(out)
+    print(f"[bench] convergence: {summ}", file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": f"batched {label}, T={T}, maxiter={MAXITER}, batch={BATCH})",
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 4),
+        "path": path,
+        "th_stop": TH_STOP,
+        "converged_frac": round(summ["converged_frac"], 4),
+        "diverged_frac": round(summ["diverged_frac"], 4),
+        "mean_iterations": round(summ["mean_iterations"], 2),
     }))
 
 
