@@ -59,6 +59,12 @@ class VSASpec(NamedTuple):
 
 def extract_vsa_spec(problem, bounds) -> VSASpec:
     """Introspect a concrete ShootingProblem built from the VSA presets."""
+    if getattr(problem, "per_knot", False):
+        raise TypeError("fast path requires identical knots (per_knot=False); "
+                        "per-knot problems use the generic solver")
+    if bounds is not None and np.ndim(bounds.lb) != 1:
+        raise TypeError("fast path requires a single shared control box; "
+                        "per-knot [T, nu] bounds use the generic solver")
     from ..models.costs import (
         ActivationModelQuad,
         ActivationModelWeightedQuad,

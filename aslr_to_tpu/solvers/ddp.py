@@ -142,8 +142,14 @@ class _LoopState(NamedTuple):
 
 
 def _linearize_core(problem: ShootingProblem, xs, us):
-    """calc + calcDiff over all knots (vmap) + terminal."""
-    run_data, run_diff = jax.vmap(problem.running.calc_with_diff)(xs[:-1], us)
+    """calc + calcDiff over all knots (vmap) + terminal. With
+    ``problem.per_knot`` the model pytree is vmapped alongside the
+    trajectory (leading [T] axis on every leaf)."""
+    if problem.per_knot:
+        run_data, run_diff = jax.vmap(type(problem.running).calc_with_diff)(
+            problem.running, xs[:-1], us)
+    else:
+        run_data, run_diff = jax.vmap(problem.running.calc_with_diff)(xs[:-1], us)
     u0 = jnp.zeros(problem.terminal.nu, dtype=xs.dtype)
     term_data, term_diff = problem.terminal.calc_with_diff(xs[-1], u0)
     cost = jnp.sum(run_data.cost) + term_data.cost
@@ -374,7 +380,10 @@ def _backward(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, setti
 
 
 def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, settings):
-    if (bounds is not None) and (not use_gaps) and settings.use_pallas_backward:
+    # the fused backward kernels take a single [nu] box; per-knot [T, nu]
+    # bounds run through the generic scan below
+    shared_box = bounds is not None and jnp.ndim(bounds.lb) == 1
+    if shared_box and (not use_gaps) and settings.use_pallas_backward:
         core = _get_box_backward_core(settings.boxqp_iters, jax.default_backend() != "tpu")
         k, K, dg, dq, stop, ok, retryable = core(
             run_diff.Fx, run_diff.Fu, run_diff.Lx, run_diff.Lu,
@@ -389,7 +398,7 @@ def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, 
         return _Backward(k=k, K=K, Vx=zeros_Vx, Vxx=zeros_Vxx,
                          dg=dg, dq=dq, dg_gap=zero, dq_gap=zero, stop=stop, ok=ok,
                          retryable=retryable)
-    if (bounds is not None) and use_gaps and settings.use_pallas_backward:
+    if shared_box and use_gaps and settings.use_pallas_backward:
         core = _get_boxfddp_backward_core(settings.boxqp_iters, jax.default_backend() != "tpu")
         k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable = core(
             run_diff.Fx, run_diff.Fu, run_diff.Lx, run_diff.Lu,
@@ -428,9 +437,11 @@ def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, 
     # through the th_acceptnegstep branch.
     Vx_T = term_diff.Lx + (Vxx_T @ fs[-1] if use_gaps else 0.0)
 
+    lb_knot = bounds is not None and jnp.ndim(bounds.lb) == 2
+
     def body(carry, inp):
         Vx_n, Vxx_n = carry
-        d, fs_t, u_t = inp
+        d, fs_t, u_t, bnd = inp
 
         FuT = d.Fu.T
         FxT = d.Fx.T
@@ -447,8 +458,9 @@ def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, 
             K = cho_solve((L, True), Qxu.T)
             ok = jnp.all(jnp.isfinite(L))
         else:
-            low = bounds.lb - u_t
-            up = bounds.ub - u_t
+            lb_t, ub_t = bnd if lb_knot else (bounds.lb, bounds.ub)
+            low = lb_t - u_t
+            up = ub_t - u_t
             qp = boxqp(Quu, Qu, low, up, jnp.zeros_like(u_t),
                        maxiter=settings.boxqp_iters, n_alphas=settings.boxqp_alphas)
             k = -qp.x
@@ -468,8 +480,9 @@ def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, 
         out = (k, K, Vx, Vxx, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu), ok, indef)
         return (Vx, Vxx), out
 
+    bnd_xs = (bounds.lb, bounds.ub) if lb_knot else None
     (_, _), outs = jax.lax.scan(
-        body, (Vx_T, Vxx_T), (run_diff, fs[:-1], us), reverse=True)
+        body, (Vx_T, Vxx_T), (run_diff, fs[:-1], us, bnd_xs), reverse=True)
     k, K, Vx_t, Vxx_t, dg_t, dq_t, stop_t, ok_t, indef_t = outs
 
     Vx = jnp.concatenate([Vx_t, Vx_T[None]], axis=0)
@@ -497,21 +510,32 @@ def _rollout(problem, xs, us, k, K, fs, alpha, gap_scale_on, use_gaps, bounds):
     gscale = jnp.where(gap_scale_on, alpha - 1.0, 0.0) if use_gaps else jnp.asarray(0.0, dtype=xs.dtype)
 
     x0_try = state.integrate(problem.x0, fs[0] * gscale)
+    # per-knot control bounds ride the scan ([T, nu] arrays); shared bounds
+    # stay closure constants (the hot path is untouched)
+    lb_knot = bounds is not None and jnp.ndim(bounds.lb) == 2
 
     def step(carry, inp):
         x_try, cost_acc = carry
-        x_ref, u_ref, k_t, K_t, fs_n = inp
+        if problem.per_knot:
+            x_ref, u_ref, k_t, K_t, fs_n, model, bnd = inp
+        else:
+            x_ref, u_ref, k_t, K_t, fs_n, bnd = inp
+            model = problem.running
         dx = state.diff(x_ref, x_try)
         u_try = u_ref - alpha * k_t - K_t @ dx
         if bounds is not None:
-            u_try = jnp.clip(u_try, bounds.lb, bounds.ub)
-        data = problem.running.calc(x_try, u_try)
+            lb_t, ub_t = bnd if lb_knot else (bounds.lb, bounds.ub)
+            u_try = jnp.clip(u_try, lb_t, ub_t)
+        data = model.calc(x_try, u_try)
         x_next = state.integrate(data.xnext, fs_n * gscale)
         return (x_next, cost_acc + data.cost), (x_try, u_try)
 
+    bnd_xs = (bounds.lb, bounds.ub) if lb_knot else None
+    scan_xs = ((xs[:-1], us, k, K, fs[1:], problem.running, bnd_xs)
+               if problem.per_knot else (xs[:-1], us, k, K, fs[1:], bnd_xs))
     (xT, cost_acc), (xs_out, us_out) = jax.lax.scan(
         step, pvary_like((x0_try, jnp.asarray(0.0, dtype=xs.dtype)), xs),
-        (xs[:-1], us, k, K, fs[1:]))
+        scan_xs)
     u0 = jnp.zeros(problem.terminal.nu, dtype=xs.dtype)
     cost_try = cost_acc + problem.terminal.calc(xT, u0).cost
     xs_try = jnp.concatenate([xs_out, xT[None]], axis=0)

@@ -50,15 +50,27 @@ def homotopy_solve(
     bounds: Optional[Bounds] = None,
     fast=None,
     scales: Sequence[float] = DEFAULT_SCALES,
+    ub_stages=None,
 ) -> SolveResult:
     """Continuation solve: for each scale in ``scales`` (ascending, ending
     at 1.0) solve with the terminal costs scaled and warm-start the next
     stage from the result. ``settings.maxiter`` is the per-stage budget.
 
+    ``ub_stages`` (optional, [n_stages, nu]) sets a per-stage control
+    upper bound — the stiffness-bound continuation for the VSA workloads:
+    early stages cap the stiffness channels inside the explicit-Euler
+    stability region (omega*dt = sqrt(K/B)*dt <= 2, i.e. K <= 4*B/dt**2 =
+    0.04 at the preset's B=1e-3, dt=1e-2 per unit inertia — empirically
+    K <= 3 keeps the coupled system stable), the final stage releases the
+    full box. Measured on two_dof_vsa_boxddp T=200 within the reference's
+    400-iteration budget: cost 14683 (cold, diverges at iter 28) -> 6201
+    (no divergence); T=100 result unchanged (313.98). Generic path only:
+    the fused rollout kernels bake the box as static constants.
+
     Returns the final stage's :class:`SolveResult`. Jit/vmap like
     ``solve`` — all stages run as one ``lax.scan`` over the scale array.
-    Works with the fused kernels too: they take the terminal goal weight
-    as a runtime lane input, so stages share one compiled program.
+    Works with the fused kernels too (terminal weight is a runtime lane
+    input), except for ``ub_stages`` as noted.
     """
     T = problem.T
     x0 = problem.x0
@@ -69,14 +81,28 @@ def homotopy_solve(
            if us_init is None else jnp.asarray(us_init, dtype=dtype))
 
     scale_arr = jnp.asarray(list(scales), dtype=dtype)
+    if ub_stages is not None:
+        if bounds is None:
+            raise ValueError("ub_stages requires bounds")
+        if fast is not None:
+            raise ValueError("ub_stages requires the generic path (the fused "
+                             "rollout kernels bake the box as static constants)")
+        ub_arr = jnp.asarray(ub_stages, dtype=dtype)
+        if ub_arr.shape[0] != scale_arr.shape[0]:
+            raise ValueError("ub_stages must have one row per scale")
+        stage_xs = (scale_arr, ub_arr)
+    else:
+        stage_xs = (scale_arr, None)
 
-    def stage(carry, scale):
+    def stage(carry, inp):
+        scale, ub = inp
         xs, us = carry
         p = scale_terminal_costs(problem, scale)
+        b = bounds if ub is None else Bounds(lb=bounds.lb, ub=ub)
         res = solve(p, xs, us, settings=settings, use_gaps=use_gaps,
-                    bounds=bounds, fast=fast)
+                    bounds=b, fast=fast)
         return (res.xs, res.us), res
 
-    (_, _), results = jax.lax.scan(stage, (xs0, us0), scale_arr)
+    (_, _), results = jax.lax.scan(stage, (xs0, us0), stage_xs)
     # the last stage ran at the true terminal weight — return it
     return jax.tree.map(lambda a: a[-1], results)

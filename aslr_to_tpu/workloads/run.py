@@ -35,17 +35,33 @@ def solve_workload(w: Workload, settings: SolverSettings = None,
     the VSA BoxDDP workloads — see solvers/homotopy.py); the per-stage
     budget is ``maxiter // n_stages`` so the total budget is unchanged.
     """
+    from ..models.dynamics import DifferentialVSADynamics
     from ..solvers.homotopy import DEFAULT_SCALES, homotopy_solve
 
     p = w.problem
+    use_gaps = w.solver in ("fddp", "boxfddp")
+    bounds = w.bounds if w.solver in ("boxddp", "boxfddp") else None
+
+    # stiffness-bound continuation (see homotopy_solve): for VSA workloads
+    # the homotopy adds a 5th full-box stage after four stages capped in the
+    # explicit-Euler stability region — measured T=200 cold: cost 14683 ->
+    # 6201 within the same 400-iteration budget; T=100 unchanged
+    scales = DEFAULT_SCALES
+    ub_stages = None
+    if (globalization == "homotopy" and bounds is not None
+            and isinstance(p.running.differential, DifferentialVSADynamics)):
+        nk = p.nu // 2
+        cap = jnp.minimum(bounds.ub, jnp.concatenate([
+            jnp.full((nk,), jnp.inf, bounds.ub.dtype),
+            jnp.full((nk,), 3.0, bounds.ub.dtype)]))
+        scales = tuple(DEFAULT_SCALES) + (1.0,)
+        ub_stages = jnp.stack([cap] * (len(scales) - 1) + [bounds.ub])
+
     if settings is None:
         maxiter = w.maxiter
         if globalization == "homotopy":
-            maxiter = max(1, maxiter // len(DEFAULT_SCALES))
+            maxiter = max(1, maxiter // len(scales))
         settings = SolverSettings(maxiter=maxiter, th_stop=w.th_stop)
-
-    use_gaps = w.solver in ("fddp", "boxfddp")
-    bounds = w.bounds if w.solver in ("boxddp", "boxfddp") else None
 
     fast = None
     if use_fast_path == "auto":
@@ -54,6 +70,15 @@ def solve_workload(w: Workload, settings: SolverSettings = None,
         # (measured via scripts/diag_fddp_solve.py; the round-1 ~547s
         # compile no longer reproduces after the solver-loop rework)
         use_fast_path = jax.default_backend() == "tpu"
+    if use_fast_path and ub_stages is not None:
+        # the fused rollout kernels bake the control box as static
+        # constants; the stiffness-bound continuation needs per-stage
+        # boxes, and solution quality beats throughput on a single solve
+        import warnings
+        warnings.warn("stiffness-bound continuation uses the generic path "
+                      "(fused rollouts bake the box); disabling fast path "
+                      "for this solve", stacklevel=2)
+        use_fast_path = False
     if use_fast_path:
         from ..pallas.vsa_kernels import build_fast_path, supports_fast_path
         ok, reason = supports_fast_path(p, bounds)
@@ -73,7 +98,8 @@ def solve_workload(w: Workload, settings: SolverSettings = None,
             us0 = jnp.zeros((p.T, p.nu), dtype=problem.x0.dtype)
         if globalization == "homotopy":
             return homotopy_solve(problem, xs0, us0, settings=settings,
-                                  use_gaps=use_gaps, bounds=bounds, fast=fast)
+                                  use_gaps=use_gaps, bounds=bounds, fast=fast,
+                                  scales=scales, ub_stages=ub_stages)
         return solve(problem, xs0, us0, settings=settings, use_gaps=use_gaps,
                      bounds=bounds, fast=fast)
 
