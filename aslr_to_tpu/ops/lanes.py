@@ -277,6 +277,13 @@ def log3_lanes(R):
 
     Uses ``theta = atan2(|vee|, cos)`` — ``|vee| = sin(theta)`` exactly for
     theta in [0, pi] — instead of arccos (no Mosaic lowering for acos).
+
+    jvp-safe: every branch's inputs are sanitized (double-where) so the
+    forward-mode derivative of the NOT-taken branches stays finite — the
+    linearize kernel differentiates the goal cost through this map, and a
+    planar arm's EE crosses theta = pi routinely (sqrt(0) in the naive
+    near-pi axis formula used to emit NaN tangents that killed whole
+    scenarios in f32 solves).
     """
     trace = R[0][0] + R[1][1] + R[2][2]
     cc = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
@@ -286,18 +293,29 @@ def log3_lanes(R):
 
     small = u < 5e-7        # fp32-friendly threshold
     near_pi = s < 5e-5
+    generic = ~(small | near_pi)
 
-    sin_theta = jnp.sqrt(jnp.maximum(v_dot(vee, vee), 1e-30))
-    theta = atan2_lanes(sin_theta, cc)
+    # generic branch: sanitize so sqrt/atan2/div derivatives stay finite
+    # where the branch is NOT taken (sin_theta >= ~1e-3 where it is)
+    vv = v_dot(vee, vee)
+    safe_vv = jnp.where(generic, vv, 1.0)
+    sin_theta = jnp.sqrt(safe_vv)
+    theta = atan2_lanes(jnp.where(generic, sin_theta, 0.0),
+                        jnp.where(generic, cc, 1.0))
     fac_gen = theta / sin_theta
 
     theta2_t = 2.0 * u * (1.0 + u / 6.0)
     fac_small = 1.0 + theta2_t / 6.0
 
-    # near-pi: |w| = theta, direction from sqrt of diagonal (sign from vee)
+    # near-pi: |w| = theta, direction from sqrt of diagonal (sign from vee);
+    # zero-tangent double-where on the sqrt (ratio == 0 on axes orthogonal
+    # to the rotation — exactly the planar case)
     theta_pi = jnp.pi - jnp.sqrt(jnp.maximum(2.0 * s, 1e-30)) * (1.0 + s / 12.0)
     diag = (R[0][0], R[1][1], R[2][2])
-    ax = tuple(jnp.sqrt(jnp.maximum((d - cc) / jnp.maximum(u, 1e-30), 0.0)) for d in diag)
+    ratio = tuple((d - cc) / jnp.maximum(u, 1e-30) for d in diag)
+    ax = tuple(
+        jnp.where(r > 1e-6, jnp.sqrt(jnp.where(r > 1e-6, r, 1.0)), 0.0)
+        for r in ratio)
     sgn = tuple(jnp.where(vi < 0.0, -1.0, 1.0) for vi in vee)
     w_pi = tuple(a * sg * theta_pi for a, sg in zip(ax, sgn))
 

@@ -96,11 +96,12 @@ def build_lane_solver(
         lb = jnp.asarray(bounds.lb)
         ub = jnp.asarray(bounds.ub)
 
-    def solve_batch(x0s, xs_init=None, us_init=None, wterm_scale=None):
+    def solve_batch(x0s, xs_init=None, us_init=None, wterm_scale=None,
+                    box_ub=None):
         with jax.default_matmul_precision("float32"):
-            return _impl(x0s, xs_init, us_init, wterm_scale)
+            return _impl(x0s, xs_init, us_init, wterm_scale, box_ub)
 
-    def _impl(x0s, xs_init, us_init, wterm_scale):
+    def _impl(x0s, xs_init, us_init, wterm_scale, box_ub):
         B = x0s.shape[0]
         dtype = x0s.dtype
         Bp = ((B + nb - 1) // nb) * nb
@@ -118,10 +119,13 @@ def build_lane_solver(
         us0 = (jnp.zeros((T, nu, Bp), dtype) if us_init is None
                else to_lanes(us_init))
         if boxed:
+            # box_ub ([nu], traced) overrides the upper bound at runtime —
+            # the stiffness-bound continuation's per-stage box
+            ub_eff = ub.astype(dtype) if box_ub is None else jnp.asarray(box_ub, dtype)
             # project the warm start into the box (see solvers.ddp._solve_impl)
-            us0 = jnp.clip(us0, lb.astype(dtype)[None, :, None], ub.astype(dtype)[None, :, None])
+            us0 = jnp.clip(us0, lb.astype(dtype)[None, :, None], ub_eff[None, :, None])
             lb_l = jnp.broadcast_to(lb.astype(dtype)[:, None], (nu, Bp))
-            ub_l = jnp.broadcast_to(ub.astype(dtype)[:, None], (nu, Bp))
+            ub_l = jnp.broadcast_to(ub_eff[:, None], (nu, Bp))
         # terminal goal weight as a runtime lane input; ``wterm_scale`` (a
         # traced scalar) ramps it for homotopy stages without recompiling
         wterm_l = jnp.full((1, Bp), spec.w_goal_term, dtype)
@@ -232,9 +236,11 @@ def build_lane_solver(
                 i, accepted, xs_b, us_b, cost_b, alpha_b = c
                 pred = ls_pred(i, accepted)
                 alpha = jnp.take(alphas, jnp.clip(i, 0, s.n_alphas - 1))
+                roll_box = (lb_l, ub_l) if boxed else ()
                 xs_t, us_t, cost_t = roll(
                     st.xs, st.us, bw.k, bw.K, x0_l, alpha[None, :],
-                    bw_fs, infeas_f[None, :] if use_gaps else zeros_1B, wterm_l)
+                    bw_fs, infeas_f[None, :] if use_gaps else zeros_1B, wterm_l,
+                    *roll_box)
                 dV = cost - cost_t
                 if use_gaps:
                     # dv correction (Crocoddyl FDDP::expectedImprovement):
@@ -321,16 +327,21 @@ def build_lane_homotopy(
     interpret: Optional[bool] = None,
     use_gaps: bool = False,
     scales=None,
+    ub_stages=None,
 ):
     """Lane-resident terminal-weight continuation (solvers/homotopy.py
     semantics): each stage runs the whole lane solver at a scaled terminal
-    goal weight and warm-starts the next from its solution. The scale is a
-    runtime lane input, so all stages share ONE compiled lane program;
-    ``settings.maxiter`` is the per-stage budget."""
+    goal weight and warm-starts the next from its solution. The scale —
+    and, with ``ub_stages`` ([n_stages, nu]), the per-stage control upper
+    bound (stiffness-bound continuation) — are runtime lane inputs, so all
+    stages share ONE compiled lane program; ``settings.maxiter`` is the
+    per-stage budget."""
     from ..solvers.homotopy import DEFAULT_SCALES
 
     if scales is None:
         scales = DEFAULT_SCALES
+    if ub_stages is not None and bounds is None:
+        raise ValueError("ub_stages requires bounds")
     lane = build_lane_solver(problem, settings, bounds, nb=nb,
                              interpret=interpret, use_gaps=use_gaps)
     T = problem.T
@@ -344,13 +355,18 @@ def build_lane_homotopy(
         us0 = (jnp.zeros((B, T, nu), dtype) if us_init is None
                else jnp.asarray(us_init, dtype))
         scale_arr = jnp.asarray(list(scales), dtype=dtype)
+        ub_arr = (None if ub_stages is None
+                  else jnp.asarray(ub_stages, dtype))
+        if ub_arr is not None and ub_arr.shape[0] != scale_arr.shape[0]:
+            raise ValueError("ub_stages must have one row per scale")
 
-        def stage(carry, scale):
+        def stage(carry, inp):
+            scale, ub = inp
             xs, us = carry
-            res = lane(x0s, xs, us, wterm_scale=scale)
+            res = lane(x0s, xs, us, wterm_scale=scale, box_ub=ub)
             return (res.xs, res.us), res
 
-        (_, _), results = jax.lax.scan(stage, (xs0, us0), scale_arr)
+        (_, _), results = jax.lax.scan(stage, (xs0, us0), (scale_arr, ub_arr))
         return jax.tree.map(lambda a: a[-1], results)
 
     return jax.jit(solve_batch)

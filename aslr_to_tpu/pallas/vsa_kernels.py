@@ -186,7 +186,7 @@ def _dynamics_lanes(spec: VSASpec, x, u):
     M, nle = lanes.mass_nle_lanes(spec.rc, q_l, v_l)
     rhs = [-nle[i] - tau_c[i] for i in range(NL)]
     a_l = list(lanes.solve2(M, rhs))
-    binv = spec.binv
+    binv = tuple(tuple(float(b) for b in row) for row in spec.binv)
     a_m = [
         binv[i][0] * (tau_m[0] + tau_c[0]) + binv[i][1] * (tau_m[1] + tau_c[1])
         for i in range(NL)
@@ -228,8 +228,24 @@ def _running_cost_lanes(spec: VSASpec, x, u):
 
 def _rollout_kernel(spec: VSASpec, T: int, use_gaps: bool,
                     xs_ref, us_ref, k_ref, K_ref, x0_ref, alpha_ref,
-                    fs_ref, infeas_ref, wterm_ref,
-                    xs_out, us_out, cost_ref, x_s):
+                    fs_ref, infeas_ref, wterm_ref, *box_refs):
+    # box_refs: () unbounded; (lb_ref, ub_ref, xs_out, us_out, cost_ref,
+    # x_s) when bounded — the control box is a runtime lane input so
+    # bound-continuation schedules share one compiled kernel
+    if spec.lb is not None:
+        lb_ref, ub_ref, xs_out, us_out, cost_ref, x_s = box_refs
+    else:
+        lb_ref = ub_ref = None
+        xs_out, us_out, cost_ref, x_s = box_refs
+    _rollout_kernel_impl(spec, T, use_gaps, xs_ref, us_ref, k_ref, K_ref,
+                         x0_ref, alpha_ref, fs_ref, infeas_ref, wterm_ref,
+                         lb_ref, ub_ref, xs_out, us_out, cost_ref, x_s)
+
+
+def _rollout_kernel_impl(spec: VSASpec, T: int, use_gaps: bool,
+                         xs_ref, us_ref, k_ref, K_ref, x0_ref, alpha_ref,
+                         fs_ref, infeas_ref, wterm_ref, lb_ref, ub_ref,
+                         xs_out, us_out, cost_ref, x_s):
     dtype = xs_ref.dtype
     alpha = alpha_ref[0]
     dt = spec.dt
@@ -256,8 +272,8 @@ def _rollout_kernel(spec: VSASpec, T: int, use_gaps: bool,
             for i in range(NDX):
                 fb = fb + Kt[j, i] * dx[i]
             uj = us_ref[t][j] - fb
-            if spec.lb is not None:
-                uj = jnp.clip(uj, float(spec.lb[j]), float(spec.ub[j]))
+            if lb_ref is not None:
+                uj = jnp.clip(uj, lb_ref[j], ub_ref[j])
             u.append(uj)
 
         a = _dynamics_lanes(spec, x, u)
@@ -300,7 +316,8 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
     (xs_l [T+1,8,Bp], us_l [T,nu,Bp], cost [Bp]) — no relayouts."""
     nu = spec.nu
 
-    def rollout_lanes(xs_l, us_l, k_l, K_l, x0_l, alpha_l, fs_l, infeas_l, wterm_l):
+    def rollout_lanes(xs_l, us_l, k_l, K_l, x0_l, alpha_l, fs_l, infeas_l,
+                      wterm_l, lb_l=None, ub_l=None):
         dtype = xs_l.dtype
         Bp = xs_l.shape[-1]
         grid = (Bp // nb,)
@@ -310,12 +327,25 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
             n = len(block)
             return pl.BlockSpec(block, lambda b: (0,) * (n - 1) + (b,), memory_space=pltpu.VMEM)
 
+        args = [xs_l[:T], us_l, k_l, K_l, x0_l, alpha_l, fs_l, infeas_l, wterm_l]
+        in_specs = [spec_nd(T, NDX), spec_nd(T, nu), spec_nd(T, nu), spec_nd(T, nu, NDX),
+                    spec_nd(NDX), spec_nd(1), spec_nd(T + 1, NDX), spec_nd(1), spec_nd(1)]
+        if spec.lb is not None:
+            # box as a runtime lane input (bound-continuation schedules
+            # share one compiled kernel); defaults to the spec's box
+            if lb_l is None:
+                lb_l = jnp.broadcast_to(
+                    jnp.asarray(spec.lb, dtype)[:, None], (nu, Bp))
+                ub_l = jnp.broadcast_to(
+                    jnp.asarray(spec.ub, dtype)[:, None], (nu, Bp))
+            args += [lb_l, ub_l]
+            in_specs += [spec_nd(nu), spec_nd(nu)]
+
         kern = functools.partial(_rollout_kernel, spec, T, use_gaps)
         xs_o, us_o, cost_o = pl.pallas_call(
             kern,
             grid=grid,
-            in_specs=[spec_nd(T, NDX), spec_nd(T, nu), spec_nd(T, nu), spec_nd(T, nu, NDX),
-                      spec_nd(NDX), spec_nd(1), spec_nd(T + 1, NDX), spec_nd(1), spec_nd(1)],
+            in_specs=in_specs,
             out_specs=[spec_nd(T + 1, NDX), spec_nd(T, nu), spec_nd(8)],
             out_shape=out_structs([
                 jax.ShapeDtypeStruct((T + 1, NDX, Bp), dtype),
@@ -324,7 +354,7 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
             ], xs_l),
             scratch_shapes=[pltpu.VMEM((NDX, nb), dtype)],
             interpret=interpret,
-        )(xs_l[:T], us_l, k_l, K_l, x0_l, alpha_l, fs_l, infeas_l, wterm_l)
+        )(*args)
         return xs_o, us_o, cost_o[0]
 
     if lane_io:
@@ -398,7 +428,7 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
 
     M, nle = lanes.mass_nle_lanes(spec.rc, q_l_, v_l_)
     a_l = list(lanes.solve2(M, [-nle[i] - tau_c_[i] for i in range(NL)]))
-    binv = spec.binv
+    binv = tuple(tuple(float(b) for b in row) for row in spec.binv)
     a_m = [binv[i][0] * (u[0] + tau_c_[0]) + binv[i][1] * (u[1] + tau_c_[1]) for i in range(NL)]
     a = a_l + a_m
 

@@ -30,6 +30,8 @@ def make_batched_solver(
     keep_log: bool = False,
     use_fast_path: bool = False,
     globalization: Optional[str] = None,
+    scales=None,
+    ub_stages=None,
 ):
     """Build ``solve_batch(x0s) -> SolveResult`` vmapped over initial states.
 
@@ -48,7 +50,8 @@ def make_batched_solver(
         from ..pallas.lane_solver import build_lane_homotopy, build_lane_solver
 
         if globalization == "homotopy":
-            lane = build_lane_homotopy(problem, settings, bounds, use_gaps=use_gaps)
+            lane = build_lane_homotopy(problem, settings, bounds, use_gaps=use_gaps,
+                                       scales=scales, ub_stages=ub_stages)
         else:
             lane = build_lane_solver(problem, settings, bounds, use_gaps=use_gaps)
         if not warm_start:
@@ -81,9 +84,11 @@ def make_batched_solver(
         else:
             us0 = None
         if globalization == "homotopy":
-            from ..solvers.homotopy import homotopy_solve
+            from ..solvers.homotopy import DEFAULT_SCALES, homotopy_solve
             res = homotopy_solve(p, xs0, us0, settings=settings,
-                                 use_gaps=use_gaps, bounds=bounds, fast=fast)
+                                 use_gaps=use_gaps, bounds=bounds, fast=fast,
+                                 scales=scales or DEFAULT_SCALES,
+                                 ub_stages=ub_stages)
         else:
             res = solve(p, xs0, us0, settings=settings, use_gaps=use_gaps, bounds=bounds, fast=fast)
         if not keep_log:

@@ -63,9 +63,12 @@ def homotopy_solve(
     0.04 at the preset's B=1e-3, dt=1e-2 per unit inertia — empirically
     K <= 3 keeps the coupled system stable), the final stage releases the
     full box. Measured on two_dof_vsa_boxddp T=200 within the reference's
-    400-iteration budget: cost 14683 (cold, diverges at iter 28) -> 6201
-    (no divergence); T=100 result unchanged (313.98). Generic path only:
-    the fused rollout kernels bake the box as static constants.
+    400-iteration budget: cost 14683 (cold, diverges at iter 28) -> 5735
+    (no divergence); T=100 result unchanged (313.98). Supported on the
+    generic path and the lane solver (pallas/lane_solver.build_lane_homotopy
+    — the box is a runtime lane input); NOT on the fused custom_vmap path
+    (its rollout dispatch does not thread per-stage boxes), hence the
+    ``fast`` guard below.
 
     Returns the final stage's :class:`SolveResult`. Jit/vmap like
     ``solve`` — all stages run as one ``lax.scan`` over the scale array.

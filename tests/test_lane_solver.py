@@ -140,6 +140,25 @@ def test_lane_solver_boxfddp_backtracking():
     _check(ref, lane, atol=1e-6)
 
 
+def test_lane_homotopy_ub_stages_matches_reference():
+    """Stiffness-bound continuation on the lane path: the per-stage box is
+    a runtime lane input to the rollout/backward kernels; must match
+    vmap(homotopy_solve(ub_stages=...)) through the generic solver."""
+    w = two_dof_vsa_boxddp(T=10)
+    x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(12), (3, 8))
+    st = SolverSettings(maxiter=3, th_stop=1e-7)
+    scales = (1e-2, 1e-1, 1.0, 1.0)
+    cap = jnp.asarray([100.0, 100.0, 3.0, 3.0])
+    ub_stages = jnp.stack([cap, cap, cap, w.bounds.ub])
+    ref = make_batched_solver(w.problem, st, use_gaps=False, bounds=w.bounds,
+                              globalization="homotopy", scales=scales,
+                              ub_stages=ub_stages)(x0s)
+    lane = make_batched_solver(w.problem, st, use_gaps=False, bounds=w.bounds,
+                               use_fast_path="lanes", globalization="homotopy",
+                               scales=scales, ub_stages=ub_stages)(x0s)
+    _check(ref, lane)
+
+
 def test_lane_homotopy_matches_reference():
     """Terminal-weight continuation on the lane path: all stages share one
     compiled lane program (wterm is a runtime lane input); must match
