@@ -31,8 +31,10 @@ def main():
     dtype = jnp.float32
     w = two_dof_vsa_boxddp(T=T, dtype=dtype)
     settings = SolverSettings(maxiter=MAXITER, th_stop=1e-5, use_pallas_backward=True)
+    # PROF_PATH: "lanes" (default, the production path) or "fused"
+    path = os.environ.get("PROF_PATH", "lanes")
     fn = make_batched_solver(w.problem, settings, use_gaps=False, bounds=w.bounds,
-                             use_fast_path=True)
+                             use_fast_path="lanes" if path == "lanes" else True)
     x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (BATCH, w.problem.state.nx), dtype=dtype)
 
     import time
