@@ -50,7 +50,7 @@ from .riccati import (
     riccati_boxfddp_backward_lanes,
     riccati_fddp_backward_lanes,
 )
-from .vsa_kernels import NDX, build_linearize, build_rollout, extract_vsa_spec
+from .vsa_kernels import NDX, build_linearize, build_rollout2, extract_vsa_spec
 
 
 class _LaneState(NamedTuple):
@@ -90,7 +90,7 @@ def build_lane_solver(
     T = problem.T
     nu = spec.nu
     lin = build_linearize(spec, T, nb, interpret, lane_io=True)
-    roll = build_rollout(spec, T, nb, interpret, use_gaps=use_gaps, lane_io=True)
+    roll2 = build_rollout2(spec, T, nb, interpret, use_gaps=use_gaps)
     boxed = bounds is not None
     if boxed:
         lb = jnp.asarray(bounds.lb)
@@ -225,6 +225,31 @@ def build_lane_solver(
                 dg, dq = bw.dg, bw.dq
 
             # -- early-exit backtracking line search (per-lane alpha) ------
+            # two trials per round in ONE rollout launch (the rollout is
+            # latency-bound; the second trajectory reuses every loaded
+            # input — trial math is bit-identical to separate launches,
+            # and first-acceptable-alpha semantics are preserved: trial a
+            # wins over trial b).
+            def ls_accept(alpha, xs_t, cost_t):
+                dV = cost - cost_t
+                finite = jnp.isfinite(cost_t) & jnp.all(jnp.isfinite(xs_t), axis=(0, 1))
+                if use_gaps:
+                    # dv correction (Crocoddyl FDDP::expectedImprovement):
+                    # dv = -sum_t fs_t . (Vxx_t dx_t), dx_t = xs (-) xs_try
+                    # (state.diff(xs_t, st.xs) in solvers/ddp.py = st.xs - xs_t).
+                    dx = st.xs - xs_t
+                    dv = -jnp.einsum("tib,tijb,tjb->b", fs_l, bw.Vxx, dx) * infeas_f
+                    d1 = dg + dv
+                    d2 = dq - 2.0 * dv
+                    dVexp = alpha * (d1 + 0.5 * alpha * d2)
+                    accept_pos = (dVexp >= 0.0) & (
+                        (d1 < s.th_grad) | (dV > s.th_acceptstep * dVexp))
+                    accept_neg = (dVexp < 0.0) & (dV > s.th_acceptnegstep * dVexp)
+                    return finite & (accept_pos | accept_neg)
+                dVexp = alpha * (dg + 0.5 * alpha * dq)
+                return finite & (dVexp >= 0.0) & (
+                    (dg < s.th_grad) | (~feasible) | (dV > s.th_acceptstep * dVexp))
+
             def ls_pred(i, accepted):
                 return (~accepted) & (i < s.n_alphas)
 
@@ -235,35 +260,29 @@ def build_lane_solver(
             def ls_body(c):
                 i, accepted, xs_b, us_b, cost_b, alpha_b = c
                 pred = ls_pred(i, accepted)
-                alpha = jnp.take(alphas, jnp.clip(i, 0, s.n_alphas - 1))
+                alpha_a = jnp.take(alphas, jnp.clip(i, 0, s.n_alphas - 1))
+                alpha_b2 = jnp.take(alphas, jnp.clip(i + 1, 0, s.n_alphas - 1))
                 roll_box = (lb_l, ub_l) if boxed else ()
-                xs_t, us_t, cost_t = roll(
-                    st.xs, st.us, bw.k, bw.K, x0_l, alpha[None, :],
+                xs_ta, us_ta, cost_ta, xs_tb, us_tb, cost_tb = roll2(
+                    st.xs, st.us, bw.k, bw.K, x0_l,
+                    alpha_a[None, :], alpha_b2[None, :],
                     bw_fs, infeas_f[None, :] if use_gaps else zeros_1B, wterm_l,
                     *roll_box)
-                dV = cost - cost_t
-                if use_gaps:
-                    # dv correction (Crocoddyl FDDP::expectedImprovement):
-                    # dv = -sum_t fs_t . (Vxx_t dx_t), dx_t = xs (-) xs_try
-                    # (state.diff(xs_t, st.xs) in solvers/ddp.py = st.xs - xs_t).
-                    dx = st.xs - xs_t
-                    dv = -jnp.einsum("tib,tijb,tjb->b", fs_l, bw.Vxx, dx) * infeas_f
-                    d1 = dg + dv
-                    d2 = dq - 2.0 * dv
-                    dVexp = alpha * (d1 + 0.5 * alpha * d2)
-                    finite = jnp.isfinite(cost_t) & jnp.all(jnp.isfinite(xs_t), axis=(0, 1))
-                    accept_pos = (dVexp >= 0.0) & (
-                        (d1 < s.th_grad) | (dV > s.th_acceptstep * dVexp))
-                    accept_neg = (dVexp < 0.0) & (dV > s.th_acceptnegstep * dVexp)
-                    accept = finite & (accept_pos | accept_neg)
-                else:
-                    dVexp = alpha * (dg + 0.5 * alpha * dq)
-                    finite = jnp.isfinite(cost_t) & jnp.all(jnp.isfinite(xs_t), axis=(0, 1))
-                    accept = finite & (dVexp >= 0.0) & (
-                        (dg < s.th_grad) | (~feasible) | (dV > s.th_acceptstep * dVexp))
+                acc_a = ls_accept(alpha_a, xs_ta, cost_ta)
+                # trial b only counts where a rejected AND b is a genuinely
+                # new alpha (at the ladder's end both trials evaluate the
+                # last alpha; dedupe keeps iteration counts identical to
+                # the one-trial loop)
+                acc_b = (ls_accept(alpha_b2, xs_tb, cost_tb)
+                         & (~acc_a) & (i + 1 < s.n_alphas))
+                accept = acc_a | acc_b
                 take = accept & pred
+                xs_t = _sel(acc_a, xs_ta, xs_tb)
+                us_t = _sel(acc_a, us_ta, us_tb)
+                cost_t = jnp.where(acc_a, cost_ta, cost_tb)
+                alpha = jnp.where(acc_a, alpha_a, alpha_b2)
                 return (
-                    i + pred.astype(jnp.int32),
+                    i + 2 * pred.astype(jnp.int32),
                     accepted | take,
                     _sel(take, xs_t, xs_b),
                     _sel(take, us_t, us_b),

@@ -304,6 +304,148 @@ def _rollout_kernel_impl(spec: VSASpec, T: int, use_gaps: bool,
         cost_ref[r] = jnp.zeros_like(cost)
 
 
+def _rollout2_kernel(spec: VSASpec, T: int, use_gaps: bool,
+                     xs_ref, us_ref, k_ref, K_ref, x0_ref,
+                     alpha_a_ref, alpha_b_ref, fs_ref, infeas_ref, wterm_ref,
+                     *box_refs):
+    """Two line-search trials per launch (alphas a and b per lane).
+
+    The rollout is latency-bound (~3.3 kflops/lane-knot over a serial T
+    loop, docs/BENCH.md rooflines); evaluating two step lengths in one
+    pass reuses every loaded input (xs/us/k/K) and halves the line-search
+    rounds — measured 2.85 trials/iteration on the bench, ~50% of device
+    time. Trial math is the exact op sequence of _rollout_kernel_impl per
+    trajectory, so results are bit-identical to two separate launches."""
+    if spec.lb is not None:
+        (lb_ref, ub_ref, xs_a_out, us_a_out, cost_a_ref,
+         xs_b_out, us_b_out, cost_b_ref, xa_s, xb_s) = box_refs
+    else:
+        lb_ref = ub_ref = None
+        (xs_a_out, us_a_out, cost_a_ref,
+         xs_b_out, us_b_out, cost_b_ref, xa_s, xb_s) = box_refs
+    dtype = xs_ref.dtype
+    dt = spec.dt
+    nu = spec.nu
+    trials = (
+        (alpha_a_ref[0], xs_a_out, us_a_out, cost_a_ref, xa_s),
+        (alpha_b_ref[0], xs_b_out, us_b_out, cost_b_ref, xb_s),
+    )
+
+    gscales = []
+    for alpha, xs_out, us_out, cost_ref, x_s in trials:
+        if use_gaps:
+            gscale = (alpha - 1.0) * infeas_ref[0]
+            x0t = jnp.stack([x0_ref[i] + fs_ref[0][i] * gscale for i in range(NDX)])
+        else:
+            gscale = None
+            x0t = x0_ref[:]
+        gscales.append(gscale)
+        x_s[:] = x0t
+        xs_out[0] = x0t
+
+    def body(t, costs):
+        xr = xs_ref[t]
+        kt = k_ref[t]
+        Kt = K_ref[t]
+        ut = us_ref[t]
+        new_costs = []
+        for (alpha, xs_out, us_out, cost_ref, x_s), gscale, cost_acc in zip(
+                trials, gscales, costs):
+            x = [x_s[i] for i in range(NDX)]
+            dx = [x[i] - xr[i] for i in range(NDX)]
+            u = []
+            for j in range(nu):
+                fb = kt[j] * alpha
+                for i in range(NDX):
+                    fb = fb + Kt[j, i] * dx[i]
+                uj = ut[j] - fb
+                if lb_ref is not None:
+                    uj = jnp.clip(uj, lb_ref[j], ub_ref[j])
+                u.append(uj)
+
+            a = _dynamics_lanes(spec, x, u)
+            cost_acc = cost_acc + _running_cost_lanes(spec, x, u)
+
+            x_new = []
+            for i in range(NDX // 2):
+                x_new.append(x[i] + x[NDX // 2 + i] * dt + a[i] * dt * dt)
+            for i in range(NDX // 2):
+                x_new.append(x[NDX // 2 + i] + a[i] * dt)
+            if use_gaps:
+                fs_n = fs_ref[t + 1]
+                x_new = [x_new[i] + fs_n[i] * gscale for i in range(NDX)]
+
+            x_stack = jnp.stack(x_new)
+            x_s[:] = x_stack
+            xs_out[t + 1] = x_stack
+            us_out[t] = jnp.stack(u)
+            new_costs.append(cost_acc)
+        return tuple(new_costs)
+
+    zero = jnp.zeros_like(trials[0][0])
+    costs = jax.lax.fori_loop(0, T, body, (zero, zero))
+    for (alpha, xs_out, us_out, cost_ref, x_s), cost in zip(trials, costs):
+        xT = [x_s[i] for i in range(NDX)]
+        c_goal_T, _ = _goal_cost_lanes(spec, [xT[0], xT[1]])
+        cost = cost + wterm_ref[0] * c_goal_T
+        cost_ref[0] = cost
+        for r in range(1, 8):
+            cost_ref[r] = jnp.zeros_like(cost)
+
+
+def build_rollout2(spec: VSASpec, T: int, nb: int = 128,
+                   interpret: bool = False, use_gaps: bool = False):
+    """Lane-IO two-trial rollout: same layout contract as the lane-io
+    :func:`build_rollout` plus a second alpha input; returns
+    (xs_a, us_a, cost_a, xs_b, us_b, cost_b)."""
+    nu = spec.nu
+
+    def rollout2_lanes(xs_l, us_l, k_l, K_l, x0_l, alpha_a_l, alpha_b_l,
+                       fs_l, infeas_l, wterm_l, lb_l=None, ub_l=None):
+        dtype = xs_l.dtype
+        Bp = xs_l.shape[-1]
+        grid = (Bp // nb,)
+
+        def spec_nd(*dims):
+            block = dims + (nb,)
+            n = len(block)
+            return pl.BlockSpec(block, lambda b: (0,) * (n - 1) + (b,), memory_space=pltpu.VMEM)
+
+        args = [xs_l[:T], us_l, k_l, K_l, x0_l, alpha_a_l, alpha_b_l,
+                fs_l, infeas_l, wterm_l]
+        in_specs = [spec_nd(T, NDX), spec_nd(T, nu), spec_nd(T, nu),
+                    spec_nd(T, nu, NDX), spec_nd(NDX), spec_nd(1), spec_nd(1),
+                    spec_nd(T + 1, NDX), spec_nd(1), spec_nd(1)]
+        if spec.lb is not None:
+            if lb_l is None:
+                lb_l = jnp.broadcast_to(
+                    jnp.asarray(spec.lb, dtype)[:, None], (nu, Bp))
+                ub_l = jnp.broadcast_to(
+                    jnp.asarray(spec.ub, dtype)[:, None], (nu, Bp))
+            args += [lb_l, ub_l]
+            in_specs += [spec_nd(nu), spec_nd(nu)]
+
+        kern = functools.partial(_rollout2_kernel, spec, T, use_gaps)
+        outs = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[spec_nd(T + 1, NDX), spec_nd(T, nu), spec_nd(8)] * 2,
+            out_shape=out_structs([
+                jax.ShapeDtypeStruct((T + 1, NDX, Bp), dtype),
+                jax.ShapeDtypeStruct((T, nu, Bp), dtype),
+                jax.ShapeDtypeStruct((8, Bp), dtype),
+            ] * 2, xs_l),
+            scratch_shapes=[pltpu.VMEM((NDX, nb), dtype),
+                            pltpu.VMEM((NDX, nb), dtype)],
+            interpret=interpret,
+        )(*args)
+        xs_a, us_a, c_a, xs_b, us_b, c_b = outs
+        return xs_a, us_a, c_a[0], xs_b, us_b, c_b[0]
+
+    return rollout2_lanes
+
+
 def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
                   use_gaps: bool = False, lane_io: bool = False):
     """Returns rollout(xs, us, k, K, x0, alpha, fs, infeasible) ->
