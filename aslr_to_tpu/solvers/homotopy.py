@@ -66,9 +66,10 @@ def homotopy_solve(
     400-iteration budget: cost 14683 (cold, diverges at iter 28) -> 5735
     (no divergence); T=100 result unchanged (313.98). Supported on the
     generic path and the lane solver (pallas/lane_solver.build_lane_homotopy
-    — the box is a runtime lane input); NOT on the fused custom_vmap path
-    (its rollout dispatch does not thread per-stage boxes), hence the
-    ``fast`` guard below.
+    — the box is a runtime lane input). The fused rollout kernels also take
+    the box at runtime, but the legacy custom_vmap dispatch (``fast``) does
+    not thread per-stage boxes through ``solve``'s Bounds closure, hence
+    the guard below; production routes use the lane solver instead.
 
     Returns the final stage's :class:`SolveResult`. Jit/vmap like
     ``solve`` — all stages run as one ``lax.scan`` over the scale array.
@@ -88,8 +89,10 @@ def homotopy_solve(
         if bounds is None:
             raise ValueError("ub_stages requires bounds")
         if fast is not None:
-            raise ValueError("ub_stages requires the generic path (the fused "
-                             "rollout kernels bake the box as static constants)")
+            raise ValueError(
+                "ub_stages is not threaded through the custom_vmap fast-path "
+                "dispatch; use the lane solver "
+                "(pallas/lane_solver.build_lane_homotopy) or the generic path")
         ub_arr = jnp.asarray(ub_stages, dtype=dtype)
         if ub_arr.shape[0] != scale_arr.shape[0]:
             raise ValueError("ub_stages must have one row per scale")

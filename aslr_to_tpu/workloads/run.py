@@ -25,15 +25,24 @@ class WorkloadResult(NamedTuple):
 
 def solve_workload(w: Workload, settings: SolverSettings = None,
                    use_fast_path: str = "auto",
-                   globalization: str = None) -> SolveResult:
+                   globalization: str = None,
+                   verbose: bool = False) -> SolveResult:
     """Jit-compiled solve of one workload (warm start included).
 
-    ``use_fast_path``: "auto" enables the fused Pallas kernels on TPU for
-    supported problems (2-DoF SEA/VSA); True/False force it.
+    ``use_fast_path``: "auto" enables the fused kernels on TPU for
+    supported problems (2-DoF SEA/VSA); True/False force it. The fused
+    route is the lane-layout end-to-end solver (pallas/lane_solver.py) run
+    as a batch of one — it covers all four families, homotopy, and the
+    stiffness-bound continuation (the box is a runtime lane input), so
+    nothing falls back silently for speed reasons.
     ``globalization``: "homotopy" ramps the terminal goal weight
     geometrically with warm-started stages (fixes the cold-start stall of
     the VSA BoxDDP workloads — see solvers/homotopy.py); the per-stage
     budget is ``maxiter // n_stages`` so the total budget is unchanged.
+    ``verbose`` prints the per-iteration table (CallbackVerbose parity,
+    reference ``examples/two_dof_sea.py:75``); it needs the iteration log,
+    which the lane solver does not keep, so it routes the solve through
+    the generic path.
     """
     from ..models.dynamics import DifferentialVSADynamics
     from ..solvers.homotopy import DEFAULT_SCALES, homotopy_solve
@@ -63,32 +72,28 @@ def solve_workload(w: Workload, settings: SolverSettings = None,
             maxiter = max(1, maxiter // len(scales))
         settings = SolverSettings(maxiter=maxiter, th_stop=w.th_stop)
 
-    fast = None
     if use_fast_path == "auto":
-        # fused kernels for every supported problem shape on TPU — the
-        # FDDP kernel set now compiles in ~30s like the BoxDDP set
-        # (measured via scripts/diag_fddp_solve.py; the round-1 ~547s
-        # compile no longer reproduces after the solver-loop rework)
         use_fast_path = jax.default_backend() == "tpu"
-    if use_fast_path and ub_stages is not None:
-        # the fused rollout kernels bake the control box as static
-        # constants; the stiffness-bound continuation needs per-stage
-        # boxes, and solution quality beats throughput on a single solve
-        import warnings
-        warnings.warn("stiffness-bound continuation uses the generic path "
-                      "(fused rollouts bake the box); disabling fast path "
-                      "for this solve", stacklevel=2)
+    if use_fast_path and verbose:
+        # the lane solver keeps no per-iteration log; the verbose table
+        # needs one, so log-carrying solves run the generic path
         use_fast_path = False
+
     if use_fast_path:
-        from ..pallas.vsa_kernels import build_fast_path, supports_fast_path
+        from ..pallas.vsa_kernels import supports_fast_path
         ok, reason = supports_fast_path(p, bounds)
         if ok:
-            fast = build_fast_path(p, bounds, use_gaps=use_gaps)
-            settings = SolverSettings(**{**settings.__dict__, "use_pallas_backward": True})
-        else:
-            import warnings
-            warnings.warn(f"fast path unavailable for this problem ({reason}); "
-                          "using the generic XLA path", stacklevel=2)
+            from ..parallel.batch import make_batched_solver
+            fn = make_batched_solver(
+                p, settings, use_gaps=use_gaps, bounds=bounds,
+                warm_start=w.warm_start, use_fast_path="lanes",
+                globalization=globalization, scales=scales,
+                ub_stages=ub_stages)
+            res = fn(p.x0[None])
+            return jax.tree.map(lambda a: a[0], res)
+        import warnings
+        warnings.warn(f"fast path unavailable for this problem ({reason}); "
+                      "using the generic XLA path", stacklevel=2)
 
     def _solve(problem):
         xs0 = jnp.broadcast_to(problem.x0, (p.T + 1,) + problem.x0.shape)
@@ -98,25 +103,23 @@ def solve_workload(w: Workload, settings: SolverSettings = None,
             us0 = jnp.zeros((p.T, p.nu), dtype=problem.x0.dtype)
         if globalization == "homotopy":
             return homotopy_solve(problem, xs0, us0, settings=settings,
-                                  use_gaps=use_gaps, bounds=bounds, fast=fast,
+                                  use_gaps=use_gaps, bounds=bounds,
                                   scales=scales, ub_stages=ub_stages)
         return solve(problem, xs0, us0, settings=settings, use_gaps=use_gaps,
-                     bounds=bounds, fast=fast)
+                     bounds=bounds)
 
-    if fast is not None:
-        # the fused kernels dispatch through custom_vmap — run as a batch of 1
-        import dataclasses as _dc
-
-        batched = jax.jit(jax.vmap(lambda x0: _solve(_dc.replace(p, x0=x0))))
-        res = batched(p.x0[None])
-        return jax.tree.map(lambda a: a[0], res)
-    return jax.jit(_solve)(p)
+    res = jax.jit(_solve)(p)
+    if verbose:
+        from ..utils.verbose import print_iteration_table
+        print_iteration_table(res.log, res.iterations)
+    return res
 
 
 def run_workload(name_or_workload, settings: SolverSettings = None,
-                 globalization: str = None, **kwargs) -> WorkloadResult:
+                 globalization: str = None, verbose: bool = False,
+                 **kwargs) -> WorkloadResult:
     w = PRESETS[name_or_workload](**kwargs) if isinstance(name_or_workload, str) else name_or_workload
-    res = solve_workload(w, settings, globalization=globalization)
+    res = solve_workload(w, settings, globalization=globalization, verbose=verbose)
     if w.ee_frame is not None:
         q_l = res.xs[-1][: w.problem.state.nl]
         ee = rbd.frame_placement(w.problem.state.robot, q_l, w.ee_frame).trans

@@ -8,8 +8,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import sys
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,9 +20,8 @@ WITHPLOT = "plot" in sys.argv
 
 
 def main():
-    out = run_workload("two_dof_sea")
+    out = run_workload("two_dof_sea", verbose=True)
     res = out.result
-    w_robot = None
 
     from aslr_to_tpu.workloads.presets import two_dof_sea
     w = two_dof_sea()

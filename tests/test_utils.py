@@ -49,3 +49,37 @@ def test_io_roundtrip(tmp_path):
     from scipy.io import loadmat
     m = loadmat(str(tmp_path / "sol.mat"))
     assert "q1" in m and "u1" in m and "t" in m
+
+
+def test_verbose_table_renders_crocoddyl_columns(capsys):
+    from aslr_to_tpu.utils.verbose import format_iteration_table, print_iteration_table
+
+    log = SolveLog(*[np.abs(np.random.RandomState(3).randn(6)) for _ in range(7)])
+    s = format_iteration_table(log, iterations=4)
+    lines = s.splitlines()
+    assert lines[0].split() == [
+        "iter", "cost", "stop", "grad", "xreg", "ureg", "step", "||ffeas||"]
+    assert len(lines) == 5  # header + 4 executed iterations
+    assert lines[1].startswith("   0")
+
+    # NaN rows (never-executed iterations) are skipped
+    padded = SolveLog(*[np.concatenate([np.asarray(f), [np.nan] * 3])
+                        for f in log])
+    assert format_iteration_table(padded) == format_iteration_table(log)
+
+    # empty log (lane solver results) renders nothing
+    empty = SolveLog(*[np.zeros((0,)) for _ in range(7)])
+    assert format_iteration_table(empty) == ""
+    print_iteration_table(log, 2)
+    out = capsys.readouterr().out
+    assert "||ffeas||" in out and out.count("\n") == 3
+
+
+def test_run_workload_verbose_prints_table(capsys):
+    from aslr_to_tpu.workloads.run import run_workload
+
+    out = run_workload("double_pendulum", verbose=True)
+    text = capsys.readouterr().out
+    assert text.splitlines()[0].startswith("iter")
+    # one row per executed iteration
+    assert len(text.strip().splitlines()) == int(out.result.iterations) + 1
