@@ -45,6 +45,7 @@ import jax.numpy as jnp
 from ..solvers.ddp import Bounds, SolveLog, SolveResult, SolverSettings
 from ..solvers.problem import ShootingProblem
 from ..utils.vma import pvary_like
+from .layout import padded_batch
 from .riccati import (
     riccati_box_backward_lanes,
     riccati_boxfddp_backward_lanes,
@@ -104,7 +105,7 @@ def build_lane_solver(
     def _impl(x0s, xs_init, us_init, wterm_scale, box_ub):
         B = x0s.shape[0]
         dtype = x0s.dtype
-        Bp = ((B + nb - 1) // nb) * nb
+        Bp = padded_batch(B, nb)
         pad = Bp - B
 
         def to_lanes(x):

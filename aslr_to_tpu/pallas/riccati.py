@@ -1,23 +1,31 @@
-"""Fused Pallas backward-Riccati kernel for the Box-DDP family.
+"""Fused Pallas backward-Riccati kernels for the Box-DDP family.
 
 The XLA-scan backward pass executes ~500 small HLO ops per knot (8x8
 algebra + a projected-Newton BoxQP); at T=100 that is tens of thousands of
 latency-bound dispatches per solver iteration and dominates the profile
 (SURVEY §7 stage 5 — measured 130 ms vs 12.5 ms for the Cholesky-only
-sweep at batch 256). This kernel fuses the ENTIRE sweep — value recursion,
-masked BoxQP, free/clamped gain solves, expected-improvement/stop
-accumulators — into ONE kernel launch.
+sweep at batch 256). These kernels fuse the ENTIRE sweep — value
+recursion, masked BoxQP, free/clamped gain solves, expected-improvement /
+stop accumulators — into ONE kernel launch.
 
-Layout: scenarios ride the vector lanes. Every per-scenario matrix is an
-array ``[..., rows, cols?, NB]`` with the batch tile ``NB`` as the lane
-dimension, so an 8x8 matmul is 512 fused multiply-adds on NB-wide vectors
-(pure VPU work, no MXU needed at these sizes). The time loop is a
-``fori_loop`` inside the kernel; the grid runs over batch tiles.
+Layout (round 3): scenarios ride the vector lanes AND sublanes. Every
+per-scenario matrix is an array ``[..., rows, cols?, P, NB]`` whose
+trailing two dims fill one (8, 128) f32 vector register — 1024 scenarios
+per elementwise instruction (see :mod:`.layout` and
+``scripts/probe_sublane.py``: the 1-D [128] layout used one sublane in
+eight, capping the VPU at 12%). An 8x8 matmul is 512 fused multiply-adds
+on full vregs (pure VPU work, no MXU needed at these sizes).
 
-Integration: :func:`boxddp_backward` is a ``jax.custom_batching.custom_vmap``
-— unbatched calls fall back to the XLA scan (exact same math), and the
-``vmap`` rule dispatches to this kernel, so ``vmap(solve)`` picks it up
-transparently when ``SolverSettings.use_pallas_backward`` is set.
+The time axis is chunked INSIDE the grid: ``grid = (batch_tiles,
+n_chunks)`` with the chunk axis innermost, the (Vx, Vxx) value carry
+living in VMEM scratch across chunk steps (TPU grids execute
+sequentially), and the improvement/stop statistics accumulated into a
+revisited output block. One launch per backward sweep, VMEM-sized blocks.
+
+Integration: the ``*_lanes`` functions take/return lane-layout tensors
+(trailing dim Bp) and are what the lane-resident solver calls; the
+batch-major wrappers relayout at the boundary for ``vmap`` dispatch from
+the per-scenario solver.
 """
 from __future__ import annotations
 
@@ -30,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.vma import out_structs
+from .layout import NB, add_diag, from_packed, pack_dims, padded_batch, pick_chunks, to_packed
 
 NDX = 8   # soft 2-DoF state tangent dim
 NU = 4    # VSA control dim
@@ -39,7 +48,8 @@ _QP_ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625)
 
 
 # ---------------------------------------------------------------------------
-# lane-wise small linear algebra (arrays [..., n, m, NB])
+# lane-wise small linear algebra (arrays [n, m?, batch...] — rank-generic in
+# the trailing batch dims, so the same code runs [.., NB] and [.., P, NB])
 # ---------------------------------------------------------------------------
 
 # All contractions are broadcast-multiply + reductions over LEADING axes —
@@ -47,33 +57,33 @@ _QP_ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625)
 # is not lowerable on TPU.
 
 def _matmul_t_left(A, B):
-    """A^T @ B per lane: A [k,n,NB], B [k,m,NB] -> [n,m,NB]."""
-    return jnp.sum(A[:, :, None, :] * B[:, None, :, :], axis=0)
+    """A^T @ B per lane: A [k,n,...], B [k,m,...] -> [n,m,...]."""
+    return jnp.sum(A[:, :, None] * B[:, None], axis=0)
 
 
 def _matmul(A, B):
-    """A @ B per lane: A [n,k,NB], B [k,m,NB] -> [n,m,NB]."""
-    return jnp.sum(A[:, :, None, :] * B[None, :, :, :], axis=1)
+    """A @ B per lane: A [n,k,...], B [k,m,...] -> [n,m,...]."""
+    return jnp.sum(A[:, :, None] * B[None], axis=1)
 
 
 def _matvec_t(A, v):
-    """A^T @ v per lane: A [k,n,NB], v [k,NB] -> [n,NB]."""
-    return jnp.sum(A * v[:, None, :], axis=0)
+    """A^T @ v per lane: A [k,n,...], v [k,...] -> [n,...]."""
+    return jnp.sum(A * v[:, None], axis=0)
 
 
 def _matvec(A, v):
-    """A @ v per lane: A [n,k,NB], v [k,NB] -> [n,NB]."""
-    return jnp.sum(A * v[None, :, :], axis=1)
+    """A @ v per lane: A [n,k,...], v [k,...] -> [n,...]."""
+    return jnp.sum(A * v[None], axis=1)
 
 
 def _transpose12(A):
-    """Swap the two leading (untiled) matrix axes of A [n,m,NB] -> [m,n,NB]
+    """Swap the two leading (untiled) matrix axes of A [n,m,...] -> [m,n,...]
     via slice-and-stack (leading-axis relayout, Mosaic-safe)."""
-    return jnp.stack([A[:, j, :] for j in range(A.shape[1])], axis=0)
+    return jnp.stack([A[:, j] for j in range(A.shape[1])], axis=0)
 
 
 def _chol4(A):
-    """Unrolled n x n Cholesky per lane; A [n,n,NB] -> rows of L (lists)."""
+    """Unrolled n x n Cholesky per lane; A [n,n,...] -> rows of L (lists)."""
     n = A.shape[0]
     L = [[None] * n for _ in range(n)]
     for i in range(n):
@@ -89,7 +99,7 @@ def _chol4(A):
 
 
 def _chol4_solve(L, b_cols):
-    """Solve L L^T x = b per lane for each column; b_cols [n, m, NB]."""
+    """Solve L L^T x = b per lane for each column; b_cols [n, m, ...]."""
     n = len(L)
     m = b_cols.shape[1]
     cols = []
@@ -107,43 +117,43 @@ def _chol4_solve(L, b_cols):
             for k in range(i + 1, n):
                 s = s - L[k][i] * x[k]
             x[i] = s / L[i][i]
-        cols.append(jnp.stack(x))          # [n, NB]
-    return jnp.stack(cols, axis=1)         # [n, m, NB]
+        cols.append(jnp.stack(x))          # [n, ...]
+    return jnp.stack(cols, axis=1)         # [n, m, ...]
 
 
 def _masked_chol_solve(Quu, free, B_cols):
     """Free-subsystem solve via the masked full-size system (exact zeros on
     clamped rows) — the same trick as solvers/boxqp.masked_free_solve."""
     n = Quu.shape[0]
-    eye = jnp.eye(n, dtype=Quu.dtype)[:, :, None]
-    mask2 = free[:, None, :] * free[None, :, :]
-    A = Quu * mask2 + eye * (1.0 - free)[:, None, :] * jnp.eye(n, dtype=Quu.dtype)[:, :, None]
-    # note: (1-free) only on the diagonal
+    mask2 = free[:, None] * free[None]
+    A = add_diag(Quu * mask2, 1.0 - free)
     L = _chol4(A)
-    return _chol4_solve(L, B_cols * free[:, None, :])
+    return _chol4_solve(L, B_cols * free[:, None])
 
 
-def _boxqp_lanes(Quu, Qu, low, up, qp_iters):
+def _boxqp_lanes(Quu, Qu, low, up, qp_iters, x0=None):
     """Masked projected-Newton box QP per lane.
 
-    Quu [4,4,NB], Qu/low/up [4,NB] -> (x [4,NB], free [4,NB] as f32).
+    Quu [4,4,...], Qu/low/up [4,...] -> (x [4,...], free [4,...] as f32).
+    ``x0`` warm-starts the iterate (clipped into the box); None starts at 0
+    like Crocoddyl's BoxQP default.
     """
-    x = jnp.clip(jnp.zeros_like(Qu), low, up)
+    x = jnp.clip(jnp.zeros_like(Qu) if x0 is None else x0, low, up)
     for _ in range(qp_iters):
         g = Qu + _matvec(Quu, x)
         clamped = ((x <= low) & (g >= 0.0)) | ((x >= up) & (g <= 0.0))
         free = 1.0 - clamped.astype(Qu.dtype)
-        dx = -_masked_chol_solve(Quu, free, g[:, None, :])[:, 0, :]
+        dx = -_masked_chol_solve(Quu, free, g[:, None])[:, 0]
 
         f0 = 0.5 * jnp.sum(x * _matvec(Quu, x), axis=0) + jnp.sum(Qu * x, axis=0)
         gdx = jnp.sum(g * dx, axis=0)
         best_x = x
-        accepted = jnp.zeros(x.shape[-1], dtype=bool)
+        accepted = jnp.zeros(x.shape[1:], dtype=bool)
         for a in _QP_ALPHAS:
             xa = jnp.clip(x + a * dx, low, up)
             fa = 0.5 * jnp.sum(xa * _matvec(Quu, xa), axis=0) + jnp.sum(Qu * xa, axis=0)
             ok_a = (fa - f0 <= 0.1 * a * gdx) & (~accepted)
-            best_x = jnp.where(ok_a[None, :], xa, best_x)
+            best_x = jnp.where(ok_a[None], xa, best_x)
             accepted = accepted | ok_a
         x = best_x
     g = Qu + _matvec(Quu, x)
@@ -153,65 +163,61 @@ def _boxqp_lanes(Quu, Qu, low, up, qp_iters):
 
 
 # ---------------------------------------------------------------------------
-# the kernel
+# the kernels — one launch per sweep, grid (batch_tiles, time_chunks)
 # ---------------------------------------------------------------------------
+#
+# Chunk j of the grid processes time chunk c = NC-1-j (the sweep runs
+# backward). With front padding (pick_chunks), knots at global index < pad
+# are masked no-ops whose k/K rows the host slices off.
 
-def _riccati_box_kernel(T, qp_iters, add_reg_to_carry,
+def _riccati_box_kernel(Tc, NC, pad, qp_iters,
                         Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
                         tLx_ref, tLxx_ref, us_ref, lb_ref, ub_ref, reg_ref,
                         k_ref, K_ref, stats_ref, Vx_out_ref, Vxx_out_ref,
                         Vx_s, Vxx_s):
     dtype = Fx_ref.dtype
-    NB = Fx_ref.shape[-1]
-    eye8 = jnp.eye(NDX, dtype=dtype)[:, :, None]
-    eye4 = jnp.eye(NU, dtype=dtype)[:, :, None]
-    reg = reg_ref[0]                       # [NB]
+    reg = reg_ref[:]                      # [P, nb]
+    j = pl.program_id(1)
+    c = NC - 1 - j
 
-    # terminal chunk: regularize the terminal Lxx; continuation chunks get
-    # an already-regularized carry.
-    if add_reg_to_carry:
-        Vxx_s[:] = tLxx_ref[:] + eye8 * reg[None, None, :]
-    else:
-        Vxx_s[:] = tLxx_ref[:]
-    Vx_s[:] = tLx_ref[:]
+    @pl.when(j == 0)
+    def _():
+        Vxx_s[:] = add_diag(tLxx_ref[:], reg)
+        Vx_s[:] = tLx_ref[:]
+        stats_ref[:] = jnp.zeros_like(stats_ref)
 
-    zeros = jnp.zeros((NB,), dtype=dtype)
-    lb = lb_ref[:]                         # [4, NB]
+    zeros = jnp.zeros_like(reg)
+    lb = lb_ref[:]                        # [4, P, nb]
     ub = ub_ref[:]
 
     def body(i, carry):
         dg, dq, stop, indef = carry
-        t = T - 1 - i
-        Fx = Fx_ref[t]                     # [8,8,NB]
-        Fu = Fu_ref[t]                     # [8,4,NB]
+        t = Tc - 1 - i
+        Fx = Fx_ref[t]                    # [8,8,P,nb]
+        Fu = Fu_ref[t]                    # [8,4,P,nb]
         Vx = Vx_s[:]
         Vxx = Vxx_s[:]
 
         Qx = Lx_ref[t] + _matvec_t(Fx, Vx)
         Qu = Lu_ref[t] + _matvec_t(Fu, Vx)
-        FxTVxx = _matmul_t_left(Fx, Vxx)   # [8,8,NB]
+        FxTVxx = _matmul_t_left(Fx, Vxx)
         Qxx = Lxx_ref[t] + _matmul(FxTVxx, Fx)
-        Qxu = Lxu_ref[t] + _matmul(FxTVxx, Fu)            # [8,4,NB]
-        FuTVxx = _matmul_t_left(Fu, Vxx)   # [4,8,NB]
-        Quu = Luu_ref[t] + _matmul(FuTVxx, Fu) + eye4 * reg[None, None, :]
+        Qxu = Lxu_ref[t] + _matmul(FxTVxx, Fu)
+        FuTVxx = _matmul_t_left(Fu, Vxx)
+        Quu = add_diag(Luu_ref[t] + _matmul(FuTVxx, Fu), reg)
 
-        u_t = us_ref[t]                    # [4,NB]
+        u_t = us_ref[t]                   # [4,P,nb]
         low = lb - u_t
         up = ub - u_t
         du, free = _boxqp_lanes(Quu, Qu, low, up, qp_iters)
-        k = -du                            # [4,NB]
-        QxuT = _transpose12(Qxu)                          # [4,8,NB]
-        K = _masked_chol_solve(Quu, free, QxuT)           # [4,8,NB]
+        k = -du                           # [4,P,nb]
+        QxuT = _transpose12(Qxu)                          # [4,8,P,nb]
+        K = _masked_chol_solve(Quu, free, QxuT)           # [4,8,P,nb]
 
         Quuk = _matvec(Quu, k)
         Vx_new = Qx + _matvec_t(K, Quuk) - 2.0 * _matvec_t(K, Qu)
         Vxx_new = Qxx - _matmul(Qxu, K)
-        Vxx_new = 0.5 * (Vxx_new + _transpose12(Vxx_new)) + eye8 * reg[None, None, :]
-
-        Vx_s[:] = Vx_new
-        Vxx_s[:] = Vxx_new
-        k_ref[t] = k
-        K_ref[t] = K
+        Vxx_new = add_diag(0.5 * (Vxx_new + _transpose12(Vxx_new)), reg)
 
         # Failure taxonomy for the retry schedule: a failure at a knot whose
         # Quu was still finite is an indefinite/ill-conditioned factorization
@@ -222,62 +228,81 @@ def _riccati_box_kernel(T, qp_iters, add_reg_to_carry,
                   & jnp.all(jnp.isfinite(K), axis=(0, 1))
                   & jnp.all(jnp.isfinite(Vx_new), axis=0)
                   & jnp.all(jnp.isfinite(Vxx_new), axis=(0, 1)))
-        indef = jnp.maximum(indef, (quu_ok & ~out_ok).astype(dtype))
+        indef_t = (quu_ok & ~out_ok).astype(dtype)
 
-        dg = dg + jnp.sum(Qu * k, axis=0)
-        dq = dq - jnp.sum(k * Quuk, axis=0)
-        stop = stop + jnp.sum(Qu * Qu, axis=0)
+        if pad:
+            valid = (c * Tc + t) >= pad   # front-padded knots are no-ops
+            Vx_new = jnp.where(valid, Vx_new, Vx)
+            Vxx_new = jnp.where(valid, Vxx_new, Vxx)
+            vf = jnp.where(valid, 1.0, 0.0).astype(dtype)
+        else:
+            vf = 1.0
+        Vx_s[:] = Vx_new
+        Vxx_s[:] = Vxx_new
+        k_ref[t] = k
+        K_ref[t] = K
+
+        indef = jnp.maximum(indef, indef_t * vf)
+        dg = dg + jnp.sum(Qu * k, axis=0) * vf
+        dq = dq - jnp.sum(k * Quuk, axis=0) * vf
+        stop = stop + jnp.sum(Qu * Qu, axis=0) * vf
         return dg, dq, stop, indef
 
-    dg, dq, stop, indef = jax.lax.fori_loop(0, T, body, (zeros, zeros, zeros, zeros))
+    dg, dq, stop, indef = jax.lax.fori_loop(0, Tc, body, (zeros, zeros, zeros, zeros))
     ok = (jnp.isfinite(dg) & jnp.isfinite(dq) & jnp.isfinite(stop)
           & jnp.all(jnp.isfinite(Vx_s[:]), axis=0)).astype(dtype)
-    stats_ref[0] = dg
-    stats_ref[1] = dq
-    stats_ref[2] = stop
-    stats_ref[3] = ok
-    stats_ref[4] = indef
-    for r in range(5, 8):
-        stats_ref[r] = zeros
+    stats_ref[0] += dg
+    stats_ref[1] += dq
+    stats_ref[2] += stop
+    stats_ref[3] += ok
+    stats_ref[4] = jnp.maximum(stats_ref[4], indef)
     Vx_out_ref[:] = Vx_s[:]
     Vxx_out_ref[:] = Vxx_s[:]
 
 
-def _riccati_fddp_kernel(T, nu, add_reg_to_carry,
-                         Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
-                         tLx_ref, tLxx_ref, fs_ref, reg_ref,
-                         k_ref, K_ref, Vxx_all_ref, stats_ref, cVx_ref, cVxx_ref,
-                         Vx_s, Vxx_s):
-    """FDDP (unconstrained) backward chunk: deflected Vx (+ Vxx fs) stored at
-    every node (Crocoddyl SolverFDDP::backwardPass), per-node Vxx emitted for
-    the line search's dv correction, and the gap terms of the expected
-    improvement accumulated in-kernel."""
+def _riccati_fddp_kernel(Tc, NC, pad, nu, boxed, qp_iters, *refs):
+    """FDDP / BoxFDDP backward chunk: deflected Vx (+ Vxx fs) stored at
+    every node (Crocoddyl SolverFDDP::backwardPass), per-node Vxx emitted
+    for the line search's dv correction, and the gap terms of the expected
+    improvement accumulated in-kernel. ``boxed`` adds the per-knot masked
+    BoxQP / free-clamped gain partition (Crocoddyl SolverBoxFDDP)."""
+    if boxed:
+        (Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
+         tLx_ref, tLxx_ref, fs_ref, fsT_ref, us_ref, lb_ref, ub_ref, reg_ref,
+         k_ref, K_ref, Vxx_all_ref, VxxT_ref, stats_ref, cVx_ref, cVxx_ref,
+         Vx_s, Vxx_s) = refs
+    else:
+        (Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
+         tLx_ref, tLxx_ref, fs_ref, fsT_ref, reg_ref,
+         k_ref, K_ref, Vxx_all_ref, VxxT_ref, stats_ref, cVx_ref, cVxx_ref,
+         Vx_s, Vxx_s) = refs
+        us_ref = lb_ref = ub_ref = None
     dtype = Fx_ref.dtype
-    NB = Fx_ref.shape[-1]
-    eye8 = jnp.eye(NDX, dtype=dtype)[:, :, None]
-    eyeu = jnp.eye(nu, dtype=dtype)[:, :, None]
-    reg = reg_ref[0]
-    zeros = jnp.zeros((NB,), dtype=dtype)
+    reg = reg_ref[:]
+    j = pl.program_id(1)
+    c = NC - 1 - j
 
-    if add_reg_to_carry:
+    @pl.when(j == 0)
+    def _():
         # terminal node: regularize Lxx, deflect Vx with fs[T], emit stats
-        VxxT = tLxx_ref[:] + eye8 * reg[None, None, :]
-        fsT = fs_ref[T]
+        VxxT = add_diag(tLxx_ref[:], reg)
+        fsT = fsT_ref[:]
         VxT = tLx_ref[:] + _matvec(VxxT, fsT)
         Vxx_s[:] = VxxT
         Vx_s[:] = VxT
-        Vxx_all_ref[T] = VxxT
-        dg_gap0 = -jnp.sum(VxT * fsT, axis=0)
-        dq_gap0 = jnp.sum(fsT * _matvec(VxxT, fsT), axis=0)
-    else:
-        Vxx_s[:] = tLxx_ref[:]
-        Vx_s[:] = tLx_ref[:]
-        dg_gap0 = zeros
-        dq_gap0 = zeros
+        VxxT_ref[:] = VxxT
+        stats_ref[:] = jnp.zeros_like(stats_ref)
+        stats_ref[4] = -jnp.sum(VxT * fsT, axis=0)
+        stats_ref[5] = jnp.sum(fsT * _matvec(VxxT, fsT), axis=0)
+
+    zeros = jnp.zeros_like(reg)
+    if boxed:
+        lb = lb_ref[:]
+        ub = ub_ref[:]
 
     def body(i, carry):
         dg, dq, stop, dg_gap, dq_gap, indef = carry
-        t = T - 1 - i
+        t = Tc - 1 - i
         Fx = Fx_ref[t]
         Fu = Fu_ref[t]
         Vx = Vx_s[:]
@@ -289,25 +314,25 @@ def _riccati_fddp_kernel(T, nu, add_reg_to_carry,
         Qxx = Lxx_ref[t] + _matmul(FxTVxx, Fx)
         Qxu = Lxu_ref[t] + _matmul(FxTVxx, Fu)
         FuTVxx = _matmul_t_left(Fu, Vxx)
-        Quu = Luu_ref[t] + _matmul(FuTVxx, Fu) + eyeu * reg[None, None, :]
+        Quu = add_diag(Luu_ref[t] + _matmul(FuTVxx, Fu), reg)
 
-        L = _chol4(Quu)
-        k = _chol4_solve(L, Qu[:, None, :])[:, 0, :]
         QxuT = _transpose12(Qxu)
-        K = _chol4_solve(L, QxuT)
+        if boxed:
+            u_t = us_ref[t]
+            du, free = _boxqp_lanes(Quu, Qu, lb - u_t, ub - u_t, qp_iters)
+            k = -du
+            K = _masked_chol_solve(Quu, free, QxuT)
+        else:
+            L = _chol4(Quu)
+            k = _chol4_solve(L, Qu[:, None])[:, 0]
+            K = _chol4_solve(L, QxuT)
 
         Quuk = _matvec(Quu, k)
         Vx_new = Qx + _matvec_t(K, Quuk) - 2.0 * _matvec_t(K, Qu)
         Vxx_new = Qxx - _matmul(Qxu, K)
-        Vxx_new = 0.5 * (Vxx_new + _transpose12(Vxx_new)) + eye8 * reg[None, None, :]
+        Vxx_new = add_diag(0.5 * (Vxx_new + _transpose12(Vxx_new)), reg)
         fs_t = fs_ref[t]
         Vx_new = Vx_new + _matvec(Vxx_new, fs_t)   # FDDP deflection
-
-        Vx_s[:] = Vx_new
-        Vxx_s[:] = Vxx_new
-        k_ref[t] = k
-        K_ref[t] = K
-        Vxx_all_ref[t] = Vxx_new
 
         # retryable-failure detector (see the Box kernel for the taxonomy)
         quu_ok = jnp.all(jnp.isfinite(Quu), axis=(0, 1))
@@ -315,132 +340,50 @@ def _riccati_fddp_kernel(T, nu, add_reg_to_carry,
                   & jnp.all(jnp.isfinite(K), axis=(0, 1))
                   & jnp.all(jnp.isfinite(Vx_new), axis=0)
                   & jnp.all(jnp.isfinite(Vxx_new), axis=(0, 1)))
-        indef = jnp.maximum(indef, (quu_ok & ~out_ok).astype(dtype))
+        indef_t = (quu_ok & ~out_ok).astype(dtype)
 
-        dg = dg + jnp.sum(Qu * k, axis=0)
-        dq = dq - jnp.sum(k * Quuk, axis=0)
-        stop = stop + jnp.sum(Qu * Qu, axis=0)
-        dg_gap = dg_gap - jnp.sum(Vx_new * fs_t, axis=0)
-        dq_gap = dq_gap + jnp.sum(fs_t * _matvec(Vxx_new, fs_t), axis=0)
-        return dg, dq, stop, dg_gap, dq_gap, indef
-
-    dg, dq, stop, dg_gap, dq_gap, indef = jax.lax.fori_loop(
-        0, T, body, (zeros, zeros, zeros, dg_gap0, dq_gap0, zeros))
-    ok = (jnp.isfinite(dg) & jnp.isfinite(stop)
-          & jnp.all(jnp.isfinite(Vx_s[:]), axis=0)).astype(dtype)
-    stats_ref[0] = dg
-    stats_ref[1] = dq
-    stats_ref[2] = stop
-    stats_ref[3] = ok
-    stats_ref[4] = dg_gap
-    stats_ref[5] = dq_gap
-    stats_ref[6] = indef
-    stats_ref[7] = zeros
-    cVx_ref[:] = Vx_s[:]
-    cVxx_ref[:] = Vxx_s[:]
-
-
-def _riccati_boxfddp_kernel(T, nu, qp_iters, add_reg_to_carry,
-                            Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
-                            tLx_ref, tLxx_ref, fs_ref, us_ref, lb_ref, ub_ref, reg_ref,
-                            k_ref, K_ref, Vxx_all_ref, stats_ref, cVx_ref, cVxx_ref,
-                            Vx_s, Vxx_s):
-    """BoxFDDP backward chunk (Crocoddyl ``SolverBoxFDDP``): the FDDP
-    deflected value recursion + gap accumulators with the per-knot masked
-    BoxQP / free-clamped gain partition of the Box kernel."""
-    dtype = Fx_ref.dtype
-    NB = Fx_ref.shape[-1]
-    eye8 = jnp.eye(NDX, dtype=dtype)[:, :, None]
-    eyeu = jnp.eye(nu, dtype=dtype)[:, :, None]
-    reg = reg_ref[0]
-    zeros = jnp.zeros((NB,), dtype=dtype)
-    lb = lb_ref[:]
-    ub = ub_ref[:]
-
-    if add_reg_to_carry:
-        VxxT = tLxx_ref[:] + eye8 * reg[None, None, :]
-        fsT = fs_ref[T]
-        VxT = tLx_ref[:] + _matvec(VxxT, fsT)
-        Vxx_s[:] = VxxT
-        Vx_s[:] = VxT
-        Vxx_all_ref[T] = VxxT
-        dg_gap0 = -jnp.sum(VxT * fsT, axis=0)
-        dq_gap0 = jnp.sum(fsT * _matvec(VxxT, fsT), axis=0)
-    else:
-        Vxx_s[:] = tLxx_ref[:]
-        Vx_s[:] = tLx_ref[:]
-        dg_gap0 = zeros
-        dq_gap0 = zeros
-
-    def body(i, carry):
-        dg, dq, stop, dg_gap, dq_gap, indef = carry
-        t = T - 1 - i
-        Fx = Fx_ref[t]
-        Fu = Fu_ref[t]
-        Vx = Vx_s[:]
-        Vxx = Vxx_s[:]
-
-        Qx = Lx_ref[t] + _matvec_t(Fx, Vx)
-        Qu = Lu_ref[t] + _matvec_t(Fu, Vx)
-        FxTVxx = _matmul_t_left(Fx, Vxx)
-        Qxx = Lxx_ref[t] + _matmul(FxTVxx, Fx)
-        Qxu = Lxu_ref[t] + _matmul(FxTVxx, Fu)
-        FuTVxx = _matmul_t_left(Fu, Vxx)
-        Quu = Luu_ref[t] + _matmul(FuTVxx, Fu) + eyeu * reg[None, None, :]
-
-        u_t = us_ref[t]
-        low = lb - u_t
-        up = ub - u_t
-        du, free = _boxqp_lanes(Quu, Qu, low, up, qp_iters)
-        k = -du
-        QxuT = _transpose12(Qxu)
-        K = _masked_chol_solve(Quu, free, QxuT)
-
-        Quuk = _matvec(Quu, k)
-        Vx_new = Qx + _matvec_t(K, Quuk) - 2.0 * _matvec_t(K, Qu)
-        Vxx_new = Qxx - _matmul(Qxu, K)
-        Vxx_new = 0.5 * (Vxx_new + _transpose12(Vxx_new)) + eye8 * reg[None, None, :]
-        fs_t = fs_ref[t]
-        Vx_new = Vx_new + _matvec(Vxx_new, fs_t)   # FDDP deflection
-
+        if pad:
+            valid = (c * Tc + t) >= pad
+            Vx_new = jnp.where(valid, Vx_new, Vx)
+            Vxx_new = jnp.where(valid, Vxx_new, Vxx)
+            vf = jnp.where(valid, 1.0, 0.0).astype(dtype)
+        else:
+            vf = 1.0
         Vx_s[:] = Vx_new
         Vxx_s[:] = Vxx_new
         k_ref[t] = k
         K_ref[t] = K
         Vxx_all_ref[t] = Vxx_new
 
-        quu_ok = jnp.all(jnp.isfinite(Quu), axis=(0, 1))
-        out_ok = (jnp.all(jnp.isfinite(k), axis=0)
-                  & jnp.all(jnp.isfinite(K), axis=(0, 1))
-                  & jnp.all(jnp.isfinite(Vx_new), axis=0)
-                  & jnp.all(jnp.isfinite(Vxx_new), axis=(0, 1)))
-        indef = jnp.maximum(indef, (quu_ok & ~out_ok).astype(dtype))
-
-        dg = dg + jnp.sum(Qu * k, axis=0)
-        dq = dq - jnp.sum(k * Quuk, axis=0)
-        stop = stop + jnp.sum(Qu * Qu, axis=0)
-        dg_gap = dg_gap - jnp.sum(Vx_new * fs_t, axis=0)
-        dq_gap = dq_gap + jnp.sum(fs_t * _matvec(Vxx_new, fs_t), axis=0)
+        indef = jnp.maximum(indef, indef_t * vf)
+        dg = dg + jnp.sum(Qu * k, axis=0) * vf
+        dq = dq - jnp.sum(k * Quuk, axis=0) * vf
+        stop = stop + jnp.sum(Qu * Qu, axis=0) * vf
+        dg_gap = dg_gap - jnp.sum(Vx_new * fs_t, axis=0) * vf
+        dq_gap = dq_gap + jnp.sum(fs_t * _matvec(Vxx_new, fs_t), axis=0) * vf
         return dg, dq, stop, dg_gap, dq_gap, indef
 
     dg, dq, stop, dg_gap, dq_gap, indef = jax.lax.fori_loop(
-        0, T, body, (zeros, zeros, zeros, dg_gap0, dq_gap0, zeros))
+        0, Tc, body, (zeros,) * 6)
     ok = (jnp.isfinite(dg) & jnp.isfinite(stop)
           & jnp.all(jnp.isfinite(Vx_s[:]), axis=0)).astype(dtype)
-    stats_ref[0] = dg
-    stats_ref[1] = dq
-    stats_ref[2] = stop
-    stats_ref[3] = ok
-    stats_ref[4] = dg_gap
-    stats_ref[5] = dq_gap
-    stats_ref[6] = indef
-    stats_ref[7] = zeros
+    stats_ref[0] += dg
+    stats_ref[1] += dq
+    stats_ref[2] += stop
+    stats_ref[3] += ok
+    stats_ref[4] += dg_gap
+    stats_ref[5] += dq_gap
+    stats_ref[6] = jnp.maximum(stats_ref[6], indef)
     cVx_ref[:] = Vx_s[:]
     cVxx_ref[:] = Vxx_s[:]
 
 
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
 class FddpBackwardOut(NamedTuple):
-    k: jnp.ndarray        # [B, T, nu]
+    k: jnp.ndarray        # [B, T, nu] (lane variants: [T, nu, Bp])
     K: jnp.ndarray        # [B, T, nu, 8]
     Vxx: jnp.ndarray      # [B, T+1, 8, 8] (for the dv correction)
     dg: jnp.ndarray
@@ -452,205 +395,254 @@ class FddpBackwardOut(NamedTuple):
     retryable: jnp.ndarray  # failure was indefinite Quu (reg bump can help)
 
 
-def _fddp_chunk_call(Tc, nu, nb, interpret, add_reg, dtype, Bp, args):
-    grid = (Bp // nb,)
-
-    def spec(*dims):
-        block = dims + (nb,)
-        ndim = len(block)
-        return pl.BlockSpec(block, lambda b: (0,) * (ndim - 1) + (b,), memory_space=pltpu.VMEM)
-
-    # fs chunk block covers Tc+1 entries (node T of the chunk only used by
-    # the terminal branch); pass the fs slice with one extra row.
-    kernel = functools.partial(_riccati_fddp_kernel, Tc, nu, add_reg)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            spec(Tc, NDX, NDX), spec(Tc, NDX, nu), spec(Tc, NDX), spec(Tc, nu),
-            spec(Tc, NDX, NDX), spec(Tc, NDX, nu), spec(Tc, nu, nu),
-            spec(NDX), spec(NDX, NDX), spec(Tc + 1, NDX), spec(1),
-        ],
-        out_specs=[spec(Tc, nu), spec(Tc, nu, NDX), spec(Tc + 1, NDX, NDX), spec(8),
-                   spec(NDX), spec(NDX, NDX)],
-        out_shape=out_structs([
-            jax.ShapeDtypeStruct((Tc, nu, Bp), dtype),
-            jax.ShapeDtypeStruct((Tc, nu, NDX, Bp), dtype),
-            jax.ShapeDtypeStruct((Tc + 1, NDX, NDX, Bp), dtype),
-            jax.ShapeDtypeStruct((8, Bp), dtype),
-            jax.ShapeDtypeStruct((NDX, Bp), dtype),
-            jax.ShapeDtypeStruct((NDX, NDX, Bp), dtype),
-        ], args[0]),
-        scratch_shapes=[
-            pltpu.VMEM((NDX, nb), dtype),
-            pltpu.VMEM((NDX, NDX, nb), dtype),
-        ],
-        interpret=interpret,
-    )(*args)
+class BoxBackwardOut(NamedTuple):
+    k: jnp.ndarray      # [B, T, 4] (lane variant: [T, 4, Bp])
+    K: jnp.ndarray      # [B, T, 4, 8]
+    dg: jnp.ndarray     # [B]
+    dq: jnp.ndarray     # [B]
+    stop: jnp.ndarray   # [B]
+    ok: jnp.ndarray     # [B] bool
+    retryable: jnp.ndarray  # [B] bool: failure was indefinite Quu
 
 
-def riccati_fddp_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
-                                tLx_l, tLxx_l, fs_l, reg,
-                                nu: int = 2, nb: int = 128, t_chunk: int = 25,
-                                interpret: bool = False) -> FddpBackwardOut:
-    """Lane-IO fused FDDP backward: no batch-major transposes.
+def _pad_to(x, n, axis):
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
 
-    Inputs already in lane layout (trailing dim Bp, a multiple of ``nb``):
-    Fx_l [T,8,8,Bp], Fu_l [T,8,nu,Bp], Lx_l [T,8,Bp], Lu_l [T,nu,Bp],
-    Lxx_l [T,8,8,Bp], Lxu_l [T,8,nu,Bp], Luu_l [T,nu,nu,Bp],
-    tLx_l [8,Bp], tLxx_l [8,8,Bp], fs_l [T+1,8,Bp], reg [Bp]. Returns a
-    :class:`FddpBackwardOut` whose k/K/Vxx stay in lane layout
-    ([T,nu,Bp] / [T,nu,8,Bp] / [T+1,8,8,Bp]); stats are [Bp] vectors.
+
+def _pad_front_t(x, pad):
+    """Zero-pad ``pad`` knots at the FRONT of the time axis (axis 0)."""
+    if pad == 0:
+        return x
+    widths = [(pad, 0)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths)
+
+
+def _chunk_plan(T, t_chunk, boxed, gaps, P, nb, itemsize):
+    """Pick the time-chunk length from a VMEM budget: in+out floats per
+    knot per lane element, double-buffered across grid steps."""
+    per_knot = 224 + 36          # Fx..Luu,us + k,K
+    if gaps:
+        per_knot += 64 + 8       # Vxx_all + fs
+    budget = 6 * 1024 * 1024     # bytes per buffer set (x2 with pipelining)
+    tc_mem = max(1, budget // (per_knot * P * nb * itemsize))
+    return pick_chunks(T, min(t_chunk, tc_mem))
+
+
+def riccati_box_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
+                               tLx_l, tLxx_l, us_l, lb_l, ub_l, reg,
+                               qp_iters: int = _QP_ITERS, nb: int = NB,
+                               t_chunk: int = 25,
+                               interpret: bool = False) -> BoxBackwardOut:
+    """Lane-IO fused Box backward: no batch-major transposes.
+
+    Inputs already in lane layout: Fx_l [T,8,8,Bp], Fu_l [T,8,4,Bp],
+    Lx_l [T,8,Bp], Lu_l [T,4,Bp], Lxx_l [T,8,8,Bp], Lxu_l [T,8,4,Bp],
+    Luu_l [T,4,4,Bp], tLx_l [8,Bp], tLxx_l [8,8,Bp], us_l [T,4,Bp],
+    lb_l/ub_l [4,Bp], reg [Bp] (Bp satisfying :func:`.layout.padded_batch`).
+    Returns a :class:`BoxBackwardOut` whose k/K stay in lane layout
+    ([T,4,Bp] / [T,4,8,Bp]); stats are [Bp] vectors.
     """
     T = Fx_l.shape[0]
     dtype = Fx_l.dtype
     Bp = Fx_l.shape[-1]
-    reg_l = reg[None, :]
+    rows, P, G = pack_dims(Bp, nb)
+    Tc, NC, pad = _chunk_plan(T, t_chunk, True, False, P, nb, dtype.itemsize)
+    Tp = T + pad
 
-    n_chunks = (T + t_chunk - 1) // t_chunk
-    carry_Vx, carry_Vxx = tLx_l, tLxx_l
-    add_reg = True
-    ks, Ks, Vxxs, stats_acc = [], [], [], None
-    for c in range(n_chunks - 1, -1, -1):
-        lo = c * t_chunk
-        hi = min(T, lo + t_chunk)
-        Tc = hi - lo
-        out = _fddp_chunk_call(
-            Tc, nu, nb, interpret, add_reg, dtype, Bp,
-            (Fx_l[lo:hi], Fu_l[lo:hi], Lx_l[lo:hi], Lu_l[lo:hi],
-             Lxx_l[lo:hi], Lxu_l[lo:hi], Luu_l[lo:hi],
-             carry_Vx, carry_Vxx, fs_l[lo:hi + 1], reg_l))
-        k_c, K_c, Vxx_c, stats_c, carry_Vx, carry_Vxx = out
-        if add_reg:
-            Vxxs.append(Vxx_c)            # includes node T row
-        else:
-            Vxxs.append(Vxx_c[:Tc])
-        add_reg = False
-        ks.append(k_c)
-        Ks.append(K_c)
-        stats_acc = stats_c if stats_acc is None else stats_acc + stats_c
+    def prep(x):
+        return to_packed(_pad_front_t(x, pad), nb)
 
-    k_l = jnp.concatenate(ks[::-1], axis=0)
-    K_l = jnp.concatenate(Ks[::-1], axis=0)
-    Vxx_l = jnp.concatenate(Vxxs[::-1], axis=0)       # [T+1, 8, 8, Bp]
-    n_chunks_f = float(n_chunks)
-    return FddpBackwardOut(
-        k=k_l, K=K_l, Vxx=Vxx_l,
-        dg=stats_acc[0], dq=stats_acc[1], stop=stats_acc[2],
-        dg_gap=stats_acc[4], dq_gap=stats_acc[5],
-        ok=stats_acc[3] > (n_chunks_f - 0.5),
-        retryable=stats_acc[6] > 0.5,
-    )
+    args = [prep(Fx_l), prep(Fu_l), prep(Lx_l), prep(Lu_l),
+            prep(Lxx_l), prep(Lxu_l), prep(Luu_l),
+            to_packed(tLx_l, nb), to_packed(tLxx_l, nb), prep(us_l),
+            to_packed(lb_l, nb), to_packed(ub_l, nb), to_packed(reg[None], nb)[0]]
 
+    def tspec(*dims):
+        block = (Tc,) + dims + (P, nb)
+        n0 = len(dims)
+        return pl.BlockSpec(block, lambda b, j: (NC - 1 - j,) + (0,) * n0 + (b, 0),
+                            memory_space=pltpu.VMEM)
 
-def _boxfddp_chunk_call(Tc, nu, qp_iters, nb, interpret, add_reg, dtype, Bp, args):
-    grid = (Bp // nb,)
+    def cspec(*dims):
+        block = dims + (P, nb)
+        n0 = len(dims)
+        return pl.BlockSpec(block, lambda b, j: (0,) * n0 + (b, 0),
+                            memory_space=pltpu.VMEM)
 
-    def spec(*dims):
-        block = dims + (nb,)
-        ndim = len(block)
-        return pl.BlockSpec(block, lambda b: (0,) * (ndim - 1) + (b,), memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(_riccati_boxfddp_kernel, Tc, nu, qp_iters, add_reg)
-    return pl.pallas_call(
+    kernel = functools.partial(_riccati_box_kernel, Tc, NC, pad, qp_iters)
+    k_p, K_p, stats_p, _, _ = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(G, NC),
         in_specs=[
-            spec(Tc, NDX, NDX), spec(Tc, NDX, nu), spec(Tc, NDX), spec(Tc, nu),
-            spec(Tc, NDX, NDX), spec(Tc, NDX, nu), spec(Tc, nu, nu),
-            spec(NDX), spec(NDX, NDX), spec(Tc + 1, NDX),
-            spec(Tc, nu), spec(nu), spec(nu), spec(1),
+            tspec(NDX, NDX), tspec(NDX, NU), tspec(NDX), tspec(NU),
+            tspec(NDX, NDX), tspec(NDX, NU), tspec(NU, NU),
+            cspec(NDX), cspec(NDX, NDX), tspec(NU), cspec(NU), cspec(NU), cspec(),
         ],
-        out_specs=[spec(Tc, nu), spec(Tc, nu, NDX), spec(Tc + 1, NDX, NDX), spec(8),
-                   spec(NDX), spec(NDX, NDX)],
+        out_specs=[tspec(NU), tspec(NU, NDX), cspec(8), cspec(NDX), cspec(NDX, NDX)],
         out_shape=out_structs([
-            jax.ShapeDtypeStruct((Tc, nu, Bp), dtype),
-            jax.ShapeDtypeStruct((Tc, nu, NDX, Bp), dtype),
-            jax.ShapeDtypeStruct((Tc + 1, NDX, NDX, Bp), dtype),
-            jax.ShapeDtypeStruct((8, Bp), dtype),
-            jax.ShapeDtypeStruct((NDX, Bp), dtype),
-            jax.ShapeDtypeStruct((NDX, NDX, Bp), dtype),
-        ], args[0]),
+            jax.ShapeDtypeStruct((Tp, NU, rows, nb), dtype),
+            jax.ShapeDtypeStruct((Tp, NU, NDX, rows, nb), dtype),
+            jax.ShapeDtypeStruct((8, rows, nb), dtype),
+            jax.ShapeDtypeStruct((NDX, rows, nb), dtype),
+            jax.ShapeDtypeStruct((NDX, NDX, rows, nb), dtype),
+        ], Fx_l),
         scratch_shapes=[
-            pltpu.VMEM((NDX, nb), dtype),
-            pltpu.VMEM((NDX, NDX, nb), dtype),
+            pltpu.VMEM((NDX, P, nb), dtype),
+            pltpu.VMEM((NDX, NDX, P, nb), dtype),
         ],
         interpret=interpret,
     )(*args)
 
+    k_l = from_packed(k_p)[pad:]
+    K_l = from_packed(K_p)[pad:]
+    stats = from_packed(stats_p)
+    ok = stats[3] > (float(NC) - 0.5)       # every chunk finite
+    return BoxBackwardOut(k=k_l, K=K_l, dg=stats[0], dq=stats[1],
+                          stop=stats[2], ok=ok,
+                          retryable=stats[4] > 0.5)
+
+
+def _fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
+                       tLx_l, tLxx_l, fs_l, reg, us_l, lb_l, ub_l,
+                       nu, qp_iters, nb, t_chunk, interpret) -> FddpBackwardOut:
+    boxed = us_l is not None
+    T = Fx_l.shape[0]
+    dtype = Fx_l.dtype
+    Bp = Fx_l.shape[-1]
+    rows, P, G = pack_dims(Bp, nb)
+    Tc, NC, pad = _chunk_plan(T, t_chunk, boxed, True, P, nb, dtype.itemsize)
+    Tp = T + pad
+
+    def prep(x):
+        return to_packed(_pad_front_t(x, pad), nb)
+
+    args = [prep(Fx_l), prep(Fu_l), prep(Lx_l), prep(Lu_l),
+            prep(Lxx_l), prep(Lxu_l), prep(Luu_l),
+            to_packed(tLx_l, nb), to_packed(tLxx_l, nb),
+            prep(fs_l[:T]), to_packed(fs_l[T], nb)]
+    if boxed:
+        args += [prep(us_l), to_packed(lb_l, nb), to_packed(ub_l, nb)]
+    args += [to_packed(reg[None], nb)[0]]
+
+    def tspec(*dims):
+        block = (Tc,) + dims + (P, nb)
+        n0 = len(dims)
+        return pl.BlockSpec(block, lambda b, j: (NC - 1 - j,) + (0,) * n0 + (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    def cspec(*dims):
+        block = dims + (P, nb)
+        n0 = len(dims)
+        return pl.BlockSpec(block, lambda b, j: (0,) * n0 + (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        tspec(NDX, NDX), tspec(NDX, nu), tspec(NDX), tspec(nu),
+        tspec(NDX, NDX), tspec(NDX, nu), tspec(nu, nu),
+        cspec(NDX), cspec(NDX, NDX), tspec(NDX), cspec(NDX),
+    ]
+    if boxed:
+        in_specs += [tspec(nu), cspec(nu), cspec(nu)]
+    in_specs += [cspec()]
+
+    kernel = functools.partial(_riccati_fddp_kernel, Tc, NC, pad, nu, boxed, qp_iters)
+    k_p, K_p, Vxx_p, VxxT_p, stats_p, _, _ = pl.pallas_call(
+        kernel,
+        grid=(G, NC),
+        in_specs=in_specs,
+        out_specs=[tspec(nu), tspec(nu, NDX), tspec(NDX, NDX), cspec(NDX, NDX),
+                   cspec(8), cspec(NDX), cspec(NDX, NDX)],
+        out_shape=out_structs([
+            jax.ShapeDtypeStruct((Tp, nu, rows, nb), dtype),
+            jax.ShapeDtypeStruct((Tp, nu, NDX, rows, nb), dtype),
+            jax.ShapeDtypeStruct((Tp, NDX, NDX, rows, nb), dtype),
+            jax.ShapeDtypeStruct((NDX, NDX, rows, nb), dtype),
+            jax.ShapeDtypeStruct((8, rows, nb), dtype),
+            jax.ShapeDtypeStruct((NDX, rows, nb), dtype),
+            jax.ShapeDtypeStruct((NDX, NDX, rows, nb), dtype),
+        ], Fx_l),
+        scratch_shapes=[
+            pltpu.VMEM((NDX, P, nb), dtype),
+            pltpu.VMEM((NDX, NDX, P, nb), dtype),
+        ],
+        interpret=interpret,
+    )(*args)
+
+    k_l = from_packed(k_p)[pad:]
+    K_l = from_packed(K_p)[pad:]
+    # per-node Vxx [T+1, 8, 8, Bp] for the line search's dv correction
+    Vxx_l = jnp.concatenate(
+        [from_packed(Vxx_p)[pad:], from_packed(VxxT_p)[None]], axis=0)
+    stats = from_packed(stats_p)
+    return FddpBackwardOut(
+        k=k_l, K=K_l, Vxx=Vxx_l,
+        dg=stats[0], dq=stats[1], stop=stats[2],
+        dg_gap=stats[4], dq_gap=stats[5],
+        ok=stats[3] > (float(NC) - 0.5),
+        retryable=stats[6] > 0.5,
+    )
+
+
+def riccati_fddp_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
+                                tLx_l, tLxx_l, fs_l, reg,
+                                nu: int = 2, nb: int = NB, t_chunk: int = 25,
+                                interpret: bool = False) -> FddpBackwardOut:
+    """Lane-IO fused FDDP backward: no batch-major transposes.
+
+    Inputs already in lane layout (trailing dim Bp per
+    :func:`.layout.padded_batch`): Fx_l [T,8,8,Bp], Fu_l [T,8,nu,Bp],
+    Lx_l [T,8,Bp], Lu_l [T,nu,Bp], Lxx_l [T,8,8,Bp], Lxu_l [T,8,nu,Bp],
+    Luu_l [T,nu,nu,Bp], tLx_l [8,Bp], tLxx_l [8,8,Bp], fs_l [T+1,8,Bp],
+    reg [Bp]. Returns a :class:`FddpBackwardOut` whose k/K/Vxx stay in
+    lane layout ([T,nu,Bp] / [T,nu,8,Bp] / [T+1,8,8,Bp]); stats are [Bp].
+    """
+    return _fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
+                              tLx_l, tLxx_l, fs_l, reg, None, None, None,
+                              nu, 0, nb, t_chunk, interpret)
+
 
 def riccati_boxfddp_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
                                    tLx_l, tLxx_l, fs_l, us_l, lb_l, ub_l, reg,
-                                   qp_iters: int = _QP_ITERS, nb: int = 128,
+                                   qp_iters: int = _QP_ITERS, nb: int = NB,
                                    t_chunk: int = 25,
                                    interpret: bool = False) -> FddpBackwardOut:
     """Lane-IO fused BoxFDDP backward (gaps + bounds): FDDP deflected value
     recursion + gap accumulators with the masked BoxQP gain partition.
     Same layout contract as :func:`riccati_fddp_backward_lanes` plus
     us_l [T,nu,Bp] and lb_l/ub_l [nu,Bp]."""
-    T = Fx_l.shape[0]
-    dtype = Fx_l.dtype
-    Bp = Fx_l.shape[-1]
     nu = Fu_l.shape[2]
-    reg_l = reg[None, :]
+    return _fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
+                              tLx_l, tLxx_l, fs_l, reg, us_l, lb_l, ub_l,
+                              nu, qp_iters, nb, t_chunk, interpret)
 
-    n_chunks = (T + t_chunk - 1) // t_chunk
-    carry_Vx, carry_Vxx = tLx_l, tLxx_l
-    add_reg = True
-    ks, Ks, Vxxs, stats_acc = [], [], [], None
-    for c in range(n_chunks - 1, -1, -1):
-        lo = c * t_chunk
-        hi = min(T, lo + t_chunk)
-        Tc = hi - lo
-        out = _boxfddp_chunk_call(
-            Tc, nu, qp_iters, nb, interpret, add_reg, dtype, Bp,
-            (Fx_l[lo:hi], Fu_l[lo:hi], Lx_l[lo:hi], Lu_l[lo:hi],
-             Lxx_l[lo:hi], Lxu_l[lo:hi], Luu_l[lo:hi],
-             carry_Vx, carry_Vxx, fs_l[lo:hi + 1],
-             us_l[lo:hi], lb_l, ub_l, reg_l))
-        k_c, K_c, Vxx_c, stats_c, carry_Vx, carry_Vxx = out
-        if add_reg:
-            Vxxs.append(Vxx_c)
-        else:
-            Vxxs.append(Vxx_c[:Tc])
-        add_reg = False
-        ks.append(k_c)
-        Ks.append(K_c)
-        stats_acc = stats_c if stats_acc is None else stats_acc + stats_c
 
-    k_l = jnp.concatenate(ks[::-1], axis=0)
-    K_l = jnp.concatenate(Ks[::-1], axis=0)
-    Vxx_l = jnp.concatenate(Vxxs[::-1], axis=0)
-    n_chunks_f = float(n_chunks)
-    return FddpBackwardOut(
-        k=k_l, K=K_l, Vxx=Vxx_l,
-        dg=stats_acc[0], dq=stats_acc[1], stop=stats_acc[2],
-        dg_gap=stats_acc[4], dq_gap=stats_acc[5],
-        ok=stats_acc[3] > (n_chunks_f - 0.5),
-        retryable=stats_acc[6] > 0.5,
-    )
+def _to_lane_layout(x, Bp):
+    x = _pad_to(x, Bp, 0)
+    perm = tuple(range(1, x.ndim)) + (0,)
+    return jnp.transpose(x, perm)
 
 
 @functools.partial(jax.jit, static_argnames=("qp_iters", "nb", "t_chunk", "interpret"))
 def riccati_boxfddp_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
                              fs, us, lb, ub, reg, qp_iters: int = _QP_ITERS,
-                             nb: int = 128, t_chunk: int = 25,
+                             nb: int = NB, t_chunk: int = 25,
                              interpret: bool = False) -> FddpBackwardOut:
     """Batched fused BoxFDDP backward (batch-major inputs: fs [B,T+1,8],
     us [B,T,nu], lb/ub [B,nu])."""
     B = Fx.shape[0]
     dtype = Fx.dtype
-    Bp = ((B + nb - 1) // nb) * nb
+    Bp = padded_batch(B, nb)
+    tl = functools.partial(_to_lane_layout, Bp=Bp)
 
-    def to_lanes(x):
-        x = _pad_to(x, Bp, 0)
-        perm = tuple(range(1, x.ndim)) + (0,)
-        return jnp.transpose(x, perm)
-
-    Fx_l, Fu_l, Lx_l, Lu_l = map(to_lanes, (Fx, Fu, Lx, Lu))
-    Lxx_l, Lxu_l, Luu_l = map(to_lanes, (Lxx, Lxu, Luu))
-    tLx_l, tLxx_l, fs_l = map(to_lanes, (term_Lx, term_Lxx, fs))
-    us_l, lb_l, ub_l = map(to_lanes, (us, lb, ub))
+    Fx_l, Fu_l, Lx_l, Lu_l = map(tl, (Fx, Fu, Lx, Lu))
+    Lxx_l, Lxu_l, Luu_l = map(tl, (Lxx, Lxu, Luu))
+    tLx_l, tLxx_l, fs_l = map(tl, (term_Lx, term_Lxx, fs))
+    us_l, lb_l, ub_l = map(tl, (us, lb, ub))
     reg_p = jnp.concatenate([reg, jnp.ones(Bp - B, dtype=dtype)])
 
     out = riccati_boxfddp_backward_lanes(
@@ -670,21 +662,17 @@ def riccati_boxfddp_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
 
 @functools.partial(jax.jit, static_argnames=("nu", "nb", "t_chunk", "interpret"))
 def riccati_fddp_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
-                          fs, reg, nu: int = 2, nb: int = 128, t_chunk: int = 25,
+                          fs, reg, nu: int = 2, nb: int = NB, t_chunk: int = 25,
                           interpret: bool = False) -> FddpBackwardOut:
     """Batched fused FDDP backward pass (batch-major inputs, fs [B,T+1,8])."""
     B = Fx.shape[0]
     dtype = Fx.dtype
-    Bp = ((B + nb - 1) // nb) * nb
+    Bp = padded_batch(B, nb)
+    tl = functools.partial(_to_lane_layout, Bp=Bp)
 
-    def to_lanes(x):
-        x = _pad_to(x, Bp, 0)
-        perm = tuple(range(1, x.ndim)) + (0,)
-        return jnp.transpose(x, perm)
-
-    Fx_l, Fu_l, Lx_l, Lu_l = map(to_lanes, (Fx, Fu, Lx, Lu))
-    Lxx_l, Lxu_l, Luu_l = map(to_lanes, (Lxx, Lxu, Luu))
-    tLx_l, tLxx_l, fs_l = map(to_lanes, (term_Lx, term_Lxx, fs))
+    Fx_l, Fu_l, Lx_l, Lu_l = map(tl, (Fx, Fu, Lx, Lu))
+    Lxx_l, Lxu_l, Luu_l = map(tl, (Lxx, Lxu, Luu))
+    tLx_l, tLxx_l, fs_l = map(tl, (term_Lx, term_Lxx, fs))
     reg_p = jnp.concatenate([reg, jnp.ones(Bp - B, dtype=dtype)])
 
     out = riccati_fddp_backward_lanes(
@@ -701,132 +689,25 @@ def riccati_fddp_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
     )
 
 
-class BoxBackwardOut(NamedTuple):
-    k: jnp.ndarray      # [B, T, 4]
-    K: jnp.ndarray      # [B, T, 4, 8]
-    dg: jnp.ndarray     # [B]
-    dq: jnp.ndarray     # [B]
-    stop: jnp.ndarray   # [B]
-    ok: jnp.ndarray     # [B] bool
-    retryable: jnp.ndarray  # [B] bool: failure was indefinite Quu
-
-
-def _pad_to(x, n, axis):
-    pad = n - x.shape[axis]
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
-
-
-def _chunk_call(Tc, qp_iters, nb, interpret, add_reg, dtype, Bp, args):
-    """One pallas_call over a T-chunk; returns (k, K, stats, Vx, Vxx)."""
-    grid = (Bp // nb,)
-
-    def spec(*dims):
-        block = dims + (nb,)
-        ndim = len(block)
-        return pl.BlockSpec(block, lambda b: (0,) * (ndim - 1) + (b,), memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(_riccati_box_kernel, Tc, qp_iters, add_reg)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            spec(Tc, NDX, NDX), spec(Tc, NDX, NU), spec(Tc, NDX), spec(Tc, NU),
-            spec(Tc, NDX, NDX), spec(Tc, NDX, NU), spec(Tc, NU, NU),
-            spec(NDX), spec(NDX, NDX), spec(Tc, NU), spec(NU), spec(NU), spec(1),
-        ],
-        out_specs=[spec(Tc, NU), spec(Tc, NU, NDX), spec(8), spec(NDX), spec(NDX, NDX)],
-        out_shape=out_structs([
-            jax.ShapeDtypeStruct((Tc, NU, Bp), dtype),
-            jax.ShapeDtypeStruct((Tc, NU, NDX, Bp), dtype),
-            jax.ShapeDtypeStruct((8, Bp), dtype),
-            jax.ShapeDtypeStruct((NDX, Bp), dtype),
-            jax.ShapeDtypeStruct((NDX, NDX, Bp), dtype),
-        ], args[0]),
-        scratch_shapes=[
-            pltpu.VMEM((NDX, nb), dtype),
-            pltpu.VMEM((NDX, NDX, nb), dtype),
-        ],
-        interpret=interpret,
-    )(*args)
-
-
-def riccati_box_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
-                               tLx_l, tLxx_l, us_l, lb_l, ub_l, reg,
-                               qp_iters: int = _QP_ITERS, nb: int = 128,
-                               t_chunk: int = 25,
-                               interpret: bool = False) -> BoxBackwardOut:
-    """Lane-IO fused Box backward: no batch-major transposes.
-
-    Inputs already in lane layout: Fx_l [T,8,8,Bp], Fu_l [T,8,4,Bp],
-    Lx_l [T,8,Bp], Lu_l [T,4,Bp], Lxx_l [T,8,8,Bp], Lxu_l [T,8,4,Bp],
-    Luu_l [T,4,4,Bp], tLx_l [8,Bp], tLxx_l [8,8,Bp], us_l [T,4,Bp],
-    lb_l/ub_l [4,Bp], reg [Bp] (Bp a multiple of ``nb``). Returns a
-    :class:`BoxBackwardOut` whose k/K stay in lane layout
-    ([T,4,Bp] / [T,4,8,Bp]); stats are [Bp] vectors.
-    """
-    T = Fx_l.shape[0]
-    dtype = Fx_l.dtype
-    reg_l = reg[None, :]
-
-    n_chunks = (T + t_chunk - 1) // t_chunk
-    carry_Vx, carry_Vxx = tLx_l, tLxx_l
-    add_reg = True
-    ks, Ks, stats_acc = [], [], None
-    Bp = Fx_l.shape[-1]
-    for c in range(n_chunks - 1, -1, -1):
-        lo = c * t_chunk
-        hi = min(T, lo + t_chunk)
-        Tc = hi - lo
-        out = _chunk_call(
-            Tc, qp_iters, nb, interpret, add_reg, dtype, Bp,
-            (Fx_l[lo:hi], Fu_l[lo:hi], Lx_l[lo:hi], Lu_l[lo:hi],
-             Lxx_l[lo:hi], Lxu_l[lo:hi], Luu_l[lo:hi],
-             carry_Vx, carry_Vxx, us_l[lo:hi], lb_l, ub_l, reg_l))
-        k_c, K_c, stats_c, carry_Vx, carry_Vxx = out
-        add_reg = False
-        ks.append(k_c)
-        Ks.append(K_c)
-        stats_acc = stats_c if stats_acc is None else stats_acc + stats_c
-
-    k_l = jnp.concatenate(ks[::-1], axis=0)
-    K_l = jnp.concatenate(Ks[::-1], axis=0)
-    ok = stats_acc[3] > (float(n_chunks) - 0.5)       # every chunk finite
-    return BoxBackwardOut(k=k_l, K=K_l, dg=stats_acc[0], dq=stats_acc[1],
-                          stop=stats_acc[2], ok=ok,
-                          retryable=stats_acc[4] > 0.5)
-
-
 @functools.partial(jax.jit, static_argnames=("qp_iters", "nb", "t_chunk", "interpret"))
 def riccati_box_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
                          us, lb, ub, reg, qp_iters: int = _QP_ITERS,
-                         nb: int = 128, t_chunk: int = 25,
+                         nb: int = NB, t_chunk: int = 25,
                          interpret: bool = False) -> BoxBackwardOut:
     """Batched fused backward pass.
 
     Batch-major inputs: Fx [B,T,8,8], Fu [B,T,8,4], Lx [B,T,8], Lu [B,T,4],
     Lxx [B,T,8,8], Lxu [B,T,8,4], Luu [B,T,4,4], term_Lx [B,8],
     term_Lxx [B,8,8], us [B,T,4], lb/ub [B,4], reg [B].
-
-    The time axis is processed in reverse-order chunks of ``t_chunk`` knots
-    with the (Vx, Vxx) carry passed between pallas_calls — full-T blocks
-    would exceed VMEM with double buffering at 128 lanes.
     """
     B = Fx.shape[0]
     dtype = Fx.dtype
-    Bp = ((B + nb - 1) // nb) * nb
+    Bp = padded_batch(B, nb)
+    tl = functools.partial(_to_lane_layout, Bp=Bp)
 
-    def to_lanes(x):
-        x = _pad_to(x, Bp, 0)
-        perm = tuple(range(1, x.ndim)) + (0,)
-        return jnp.transpose(x, perm)
-
-    Fx_l, Fu_l, Lx_l, Lu_l = map(to_lanes, (Fx, Fu, Lx, Lu))
-    Lxx_l, Lxu_l, Luu_l, us_l = map(to_lanes, (Lxx, Lxu, Luu, us))
-    tLx_l, tLxx_l, lb_l, ub_l = map(to_lanes, (term_Lx, term_Lxx, lb, ub))
+    Fx_l, Fu_l, Lx_l, Lu_l = map(tl, (Fx, Fu, Lx, Lu))
+    Lxx_l, Lxu_l, Luu_l, us_l = map(tl, (Lxx, Lxu, Luu, us))
+    tLx_l, tLxx_l, lb_l, ub_l = map(tl, (term_Lx, term_Lxx, lb, ub))
     # padded lanes get reg 1.0 to keep their Cholesky finite
     reg_p = jnp.concatenate([reg, jnp.ones(Bp - B, dtype=dtype)])
 

@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops import lanes
 from ..ops.lanes import RobotConsts
 from ..utils.vma import out_structs
+from . import layout
 
 NDX = 8
 NU = 4
@@ -223,125 +224,159 @@ def _running_cost_lanes(spec: VSASpec, x, u):
 
 
 # ---------------------------------------------------------------------------
-# rollout kernel
+# rollout kernels
 # ---------------------------------------------------------------------------
+#
+# The rollout's T loop is chunked INSIDE the grid: ``grid = (batch_tiles,
+# n_chunks)`` with the chunk axis innermost (TPU grids execute
+# sequentially), the integration state carried in VMEM scratch across
+# chunk steps, and the running cost accumulated the same way. This keeps
+# blocks VMEM-sized at the (8, 128)-packed batch layout (see .layout).
+# Knots at global index >= T (end padding from pick_chunks) are masked
+# no-ops. The contracted initial state x0t is emitted as its own output
+# (writing it into row 0 of xs_out would need a +1-shifted, unalignable
+# block); the host wrapper concatenates.
 
-def _rollout_kernel(spec: VSASpec, T: int, use_gaps: bool,
-                    xs_ref, us_ref, k_ref, K_ref, x0_ref, alpha_ref,
-                    fs_ref, infeas_ref, wterm_ref, *box_refs):
-    # box_refs: () unbounded; (lb_ref, ub_ref, xs_out, us_out, cost_ref,
-    # x_s) when bounded — the control box is a runtime lane input so
-    # bound-continuation schedules share one compiled kernel
-    if spec.lb is not None:
-        lb_ref, ub_ref, xs_out, us_out, cost_ref, x_s = box_refs
-    else:
-        lb_ref = ub_ref = None
-        xs_out, us_out, cost_ref, x_s = box_refs
-    _rollout_kernel_impl(spec, T, use_gaps, xs_ref, us_ref, k_ref, K_ref,
-                         x0_ref, alpha_ref, fs_ref, infeas_ref, wterm_ref,
-                         lb_ref, ub_ref, xs_out, us_out, cost_ref, x_s)
-
-
-def _rollout_kernel_impl(spec: VSASpec, T: int, use_gaps: bool,
-                         xs_ref, us_ref, k_ref, K_ref, x0_ref, alpha_ref,
-                         fs_ref, infeas_ref, wterm_ref, lb_ref, ub_ref,
-                         xs_out, us_out, cost_ref, x_s):
-    dtype = xs_ref.dtype
-    alpha = alpha_ref[0]
+def _rollout_trial_step(spec, t, alpha, gscale, x, xr, kt, Kt, ut,
+                        lb_ref, ub_ref, fsb_ref, use_gaps):
+    """One knot of one line-search trial; returns (x_new list, u list,
+    running cost)."""
     dt = spec.dt
     nu = spec.nu
+    dx = [x[i] - xr[i] for i in range(NDX)]
+    u = []
+    for j in range(nu):
+        fb = kt[j] * alpha
+        for i in range(NDX):
+            fb = fb + Kt[j, i] * dx[i]
+        uj = ut[j] - fb
+        if lb_ref is not None:
+            uj = jnp.clip(uj, lb_ref[j], ub_ref[j])
+        u.append(uj)
 
+    a = _dynamics_lanes(spec, x, u)
+    cost_t = _running_cost_lanes(spec, x, u)
+
+    x_new = []
+    for i in range(NDX // 2):
+        x_new.append(x[i] + x[NDX // 2 + i] * dt + a[i] * dt * dt)
+    for i in range(NDX // 2):
+        x_new.append(x[NDX // 2 + i] + a[i] * dt)
     if use_gaps:
-        # FDDP gap contraction by (1 - alpha) (zero when feasible)
-        gscale = (alpha - 1.0) * infeas_ref[0]
-        x0t = jnp.stack([x0_ref[i] + fs_ref[0][i] * gscale for i in range(NDX)])
+        fs_n = fsb_ref[t]            # fs[global_t + 1]
+        x_new = [x_new[i] + fs_n[i] * gscale for i in range(NDX)]
+    return x_new, u, cost_t
+
+
+def _rollout_x0t(x0_ref, fsa_ref, gscale, use_gaps):
+    if use_gaps:
+        return jnp.stack([x0_ref[i] + fsa_ref[0][i] * gscale for i in range(NDX)])
+    return x0_ref[:]
+
+
+def _unpack_rollout_refs(spec, use_gaps, n_alpha, refs):
+    """Shared ref unpacking: [xs, us, k, K, x0, alphas..., (fsa, fsb if
+    gaps), wterm, (lb, ub if boxed)] then outputs + scratch."""
+    it = iter(refs)
+    xs_ref, us_ref, k_ref, K_ref, x0_ref = (next(it) for _ in range(5))
+    alphas = tuple(next(it) for _ in range(n_alpha))
+    if use_gaps:
+        fsa_ref, fsb_ref, infeas_ref = next(it), next(it), next(it)
     else:
-        gscale = None
-        x0t = x0_ref[:]
-    x_s[:] = x0t
-    xs_out[0] = x0t
+        fsa_ref = fsb_ref = infeas_ref = None
+    wterm_ref = next(it)
+    if spec.lb is not None:
+        lb_ref, ub_ref = next(it), next(it)
+    else:
+        lb_ref = ub_ref = None
+    return (xs_ref, us_ref, k_ref, K_ref, x0_ref, alphas, fsa_ref, fsb_ref,
+            infeas_ref, wterm_ref, lb_ref, ub_ref, tuple(it))
+
+
+def _rollout_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
+                    *refs):
+    (xs_ref, us_ref, k_ref, K_ref, x0_ref, (alpha_ref,), fsa_ref, fsb_ref,
+     infeas_ref, wterm_ref, lb_ref, ub_ref, rest) = _unpack_rollout_refs(
+        spec, use_gaps, 1, refs)
+    (xs_out, us_out, x0t_out, cost_ref, x_s, cost_s) = rest
+    j = pl.program_id(1)
+    alpha = alpha_ref[:]
+    gscale = (alpha - 1.0) * infeas_ref[:] if use_gaps else None
+
+    @pl.when(j == 0)
+    def _():
+        x0t = _rollout_x0t(x0_ref, fsa_ref, gscale, use_gaps)
+        x_s[:] = x0t
+        x0t_out[:] = x0t
+        cost_s[:] = jnp.zeros_like(cost_s)
 
     def body(t, cost_acc):
         x = [x_s[i] for i in range(NDX)]
-        xr = xs_ref[t]
-        dx = [x[i] - xr[i] for i in range(NDX)]
-        u = []
-        for j in range(nu):
-            fb = k_ref[t][j] * alpha
-            Kt = K_ref[t]
-            for i in range(NDX):
-                fb = fb + Kt[j, i] * dx[i]
-            uj = us_ref[t][j] - fb
-            if lb_ref is not None:
-                uj = jnp.clip(uj, lb_ref[j], ub_ref[j])
-            u.append(uj)
-
-        a = _dynamics_lanes(spec, x, u)
-        cost_acc = cost_acc + _running_cost_lanes(spec, x, u)
-
-        x_new = []
-        for i in range(NDX // 2):
-            x_new.append(x[i] + x[NDX // 2 + i] * dt + a[i] * dt * dt)
-        for i in range(NDX // 2):
-            x_new.append(x[NDX // 2 + i] + a[i] * dt)
-        if use_gaps:
-            fs_n = fs_ref[t + 1]
-            x_new = [x_new[i] + fs_n[i] * gscale for i in range(NDX)]
-
+        x_new, u, cost_t = _rollout_trial_step(
+            spec, t, alpha, gscale, x, xs_ref[t], k_ref[t], K_ref[t],
+            us_ref[t], lb_ref, ub_ref, fsb_ref, use_gaps)
+        if NC * Tc > T:
+            valid = (j * Tc + t) < T
+            x_new = [jnp.where(valid, xn, xo) for xn, xo in zip(x_new, x)]
+            cost_t = jnp.where(valid, cost_t, 0.0)
         x_stack = jnp.stack(x_new)
         x_s[:] = x_stack
-        xs_out[t + 1] = x_stack
+        xs_out[t] = x_stack
         us_out[t] = jnp.stack(u)
-        return cost_acc
+        return cost_acc + cost_t
 
-    cost = jax.lax.fori_loop(0, T, body, jnp.zeros_like(alpha))
-    xT = [x_s[i] for i in range(NDX)]
-    c_goal_T, _ = _goal_cost_lanes(spec, [xT[0], xT[1]])
-    # terminal goal weight is a runtime lane input (homotopy ramps it)
-    cost = cost + wterm_ref[0] * c_goal_T
-    cost_ref[0] = cost
-    for r in range(1, 8):
-        cost_ref[r] = jnp.zeros_like(cost)
+    cost = jax.lax.fori_loop(0, Tc, body, jnp.zeros_like(alpha))
+    cost_s[:] += cost
+
+    @pl.when(j == NC - 1)
+    def _():
+        xT = [x_s[i] for i in range(NDX)]
+        c_goal_T, _ = _goal_cost_lanes(spec, [xT[0], xT[1]])
+        # terminal goal weight is a runtime lane input (homotopy ramps it)
+        cost_ref[:] = cost_s[:] + wterm_ref[:] * c_goal_T
 
 
-def _rollout2_kernel(spec: VSASpec, T: int, use_gaps: bool,
-                     xs_ref, us_ref, k_ref, K_ref, x0_ref,
-                     alpha_a_ref, alpha_b_ref, fs_ref, infeas_ref, wterm_ref,
-                     *box_refs):
+def _rollout2_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
+                     *refs):
     """Two line-search trials per launch (alphas a and b per lane).
 
-    The rollout is latency-bound (~3.3 kflops/lane-knot over a serial T
-    loop, docs/BENCH.md rooflines); evaluating two step lengths in one
-    pass reuses every loaded input (xs/us/k/K) and halves the line-search
-    rounds — measured 2.85 trials/iteration on the bench, ~50% of device
-    time. Trial math is the exact op sequence of _rollout_kernel_impl per
+    The rollout is latency/issue-bound (~3.3 kflops/lane-knot over a
+    serial T loop, docs/BENCH.md rooflines); evaluating two step lengths
+    in one pass reuses every loaded input (xs/us/k/K) and halves the
+    line-search rounds, and the two trajectories' dependency chains
+    interleave inside the knot body (independent work the VPU can
+    overlap). Trial math is the exact op sequence of _rollout_kernel per
     trajectory, so results are bit-identical to two separate launches."""
-    if spec.lb is not None:
-        (lb_ref, ub_ref, xs_a_out, us_a_out, cost_a_ref,
-         xs_b_out, us_b_out, cost_b_ref, xa_s, xb_s) = box_refs
+    (xs_ref, us_ref, k_ref, K_ref, x0_ref, (alpha_a_ref, alpha_b_ref),
+     fsa_ref, fsb_ref, infeas_ref, wterm_ref, lb_ref, ub_ref,
+     rest) = _unpack_rollout_refs(spec, use_gaps, 2, refs)
+    (xs_a_out, us_a_out, cost_a_ref,
+     xs_b_out, us_b_out, cost_b_ref, x0t_out,
+     xa_s, xb_s, cost_ab_s) = rest
+    j = pl.program_id(1)
+    alpha_a = alpha_a_ref[:]
+    alpha_b = alpha_b_ref[:]
+    if use_gaps:
+        infeas = infeas_ref[:]
+        gscale_a = (alpha_a - 1.0) * infeas
+        gscale_b = (alpha_b - 1.0) * infeas
     else:
-        lb_ref = ub_ref = None
-        (xs_a_out, us_a_out, cost_a_ref,
-         xs_b_out, us_b_out, cost_b_ref, xa_s, xb_s) = box_refs
-    dtype = xs_ref.dtype
-    dt = spec.dt
-    nu = spec.nu
+        gscale_a = gscale_b = None
     trials = (
-        (alpha_a_ref[0], xs_a_out, us_a_out, cost_a_ref, xa_s),
-        (alpha_b_ref[0], xs_b_out, us_b_out, cost_b_ref, xb_s),
+        (alpha_a, gscale_a, xs_a_out, us_a_out, xa_s),
+        (alpha_b, gscale_b, xs_b_out, us_b_out, xb_s),
     )
 
-    gscales = []
-    for alpha, xs_out, us_out, cost_ref, x_s in trials:
-        if use_gaps:
-            gscale = (alpha - 1.0) * infeas_ref[0]
-            x0t = jnp.stack([x0_ref[i] + fs_ref[0][i] * gscale for i in range(NDX)])
-        else:
-            gscale = None
-            x0t = x0_ref[:]
-        gscales.append(gscale)
-        x_s[:] = x0t
-        xs_out[0] = x0t
+    @pl.when(j == 0)
+    def _():
+        x0t_a = _rollout_x0t(x0_ref, fsa_ref, gscale_a, use_gaps)
+        x0t_b = _rollout_x0t(x0_ref, fsa_ref, gscale_b, use_gaps)
+        xa_s[:] = x0t_a
+        xb_s[:] = x0t_b
+        # each trial's gap-contracted initial state (they differ by gscale)
+        x0t_out[0] = x0t_a
+        x0t_out[1] = x0t_b
+        cost_ab_s[:] = jnp.zeros_like(cost_ab_s)
 
     def body(t, costs):
         xr = xs_ref[t]
@@ -349,48 +384,154 @@ def _rollout2_kernel(spec: VSASpec, T: int, use_gaps: bool,
         Kt = K_ref[t]
         ut = us_ref[t]
         new_costs = []
-        for (alpha, xs_out, us_out, cost_ref, x_s), gscale, cost_acc in zip(
-                trials, gscales, costs):
+        for (alpha, gscale, xs_out, us_out, x_s), cost_acc in zip(trials, costs):
             x = [x_s[i] for i in range(NDX)]
-            dx = [x[i] - xr[i] for i in range(NDX)]
-            u = []
-            for j in range(nu):
-                fb = kt[j] * alpha
-                for i in range(NDX):
-                    fb = fb + Kt[j, i] * dx[i]
-                uj = ut[j] - fb
-                if lb_ref is not None:
-                    uj = jnp.clip(uj, lb_ref[j], ub_ref[j])
-                u.append(uj)
-
-            a = _dynamics_lanes(spec, x, u)
-            cost_acc = cost_acc + _running_cost_lanes(spec, x, u)
-
-            x_new = []
-            for i in range(NDX // 2):
-                x_new.append(x[i] + x[NDX // 2 + i] * dt + a[i] * dt * dt)
-            for i in range(NDX // 2):
-                x_new.append(x[NDX // 2 + i] + a[i] * dt)
-            if use_gaps:
-                fs_n = fs_ref[t + 1]
-                x_new = [x_new[i] + fs_n[i] * gscale for i in range(NDX)]
-
+            x_new, u, cost_t = _rollout_trial_step(
+                spec, t, alpha, gscale, x, xr, kt, Kt, ut,
+                lb_ref, ub_ref, fsb_ref, use_gaps)
+            if NC * Tc > T:
+                valid = (j * Tc + t) < T
+                x_new = [jnp.where(valid, xn, xo) for xn, xo in zip(x_new, x)]
+                cost_t = jnp.where(valid, cost_t, 0.0)
             x_stack = jnp.stack(x_new)
             x_s[:] = x_stack
-            xs_out[t + 1] = x_stack
+            xs_out[t] = x_stack
             us_out[t] = jnp.stack(u)
-            new_costs.append(cost_acc)
+            new_costs.append(cost_acc + cost_t)
         return tuple(new_costs)
 
-    zero = jnp.zeros_like(trials[0][0])
-    costs = jax.lax.fori_loop(0, T, body, (zero, zero))
-    for (alpha, xs_out, us_out, cost_ref, x_s), cost in zip(trials, costs):
-        xT = [x_s[i] for i in range(NDX)]
-        c_goal_T, _ = _goal_cost_lanes(spec, [xT[0], xT[1]])
-        cost = cost + wterm_ref[0] * c_goal_T
-        cost_ref[0] = cost
-        for r in range(1, 8):
-            cost_ref[r] = jnp.zeros_like(cost)
+    zero = jnp.zeros_like(alpha_a)
+    costs = jax.lax.fori_loop(0, Tc, body, (zero, zero))
+    cost_ab_s[0] += costs[0]
+    cost_ab_s[1] += costs[1]
+
+    @pl.when(j == NC - 1)
+    def _():
+        for idx, (_, _, _, _, x_s) in enumerate(trials):
+            xT = [x_s[i] for i in range(NDX)]
+            c_goal_T, _ = _goal_cost_lanes(spec, [xT[0], xT[1]])
+            cost_out = cost_a_ref if idx == 0 else cost_b_ref
+            cost_out[:] = cost_ab_s[idx] + wterm_ref[:] * c_goal_T
+
+
+def _rollout_layout(T, nb, n_trials, use_gaps, itemsize, t_chunk=20):
+    """Chunk plan from the VMEM budget (see riccati._chunk_plan)."""
+    per_knot = 8 + 4 + 4 + 32 + n_trials * 12   # xs,us,k,K + per-trial out
+    if use_gaps:
+        per_knot += 16                           # fs (two shifted views)
+    budget = 6 * 1024 * 1024
+    tc_mem = max(1, budget // (per_knot * layout.PACK * nb * itemsize))
+    return layout.pick_chunks(T, min(t_chunk, tc_mem))
+
+
+def _rollout_call(spec, T, nb, interpret, use_gaps, n_trials,
+                  xs_l, us_l, k_l, K_l, x0_l, alphas_l,
+                  fs_l, infeas_l, wterm_l, lb_l, ub_l):
+    """Shared host wrapper for the 1- and 2-trial rollout kernels.
+
+    Lane-layout IO (trailing dim Bp per layout.padded_batch). Returns a
+    list of (xs_try [T+1,8,Bp], us_try [T,nu,Bp], cost [Bp]) per trial.
+    """
+    nu = spec.nu
+    dtype = xs_l.dtype
+    Bp = xs_l.shape[-1]
+    rows, P, G = layout.pack_dims(Bp, nb)
+    Tc, NC, padt = _rollout_layout(T, nb, n_trials, use_gaps, dtype.itemsize)
+    Tp = T + padt
+
+    def prep_t(x):          # pad the time axis at the END, then pack
+        if padt:
+            widths = [(0, padt)] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, widths)
+        return layout.to_packed(x, nb)
+
+    def tspec(*dims):
+        block = (Tc,) + dims + (P, nb)
+        n0 = len(dims)
+        return pl.BlockSpec(block, lambda b, j: (j,) + (0,) * n0 + (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    def cspec(*dims):
+        block = dims + (P, nb)
+        n0 = len(dims)
+        return pl.BlockSpec(block, lambda b, j: (0,) * n0 + (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    args = [prep_t(xs_l[:T]), prep_t(us_l), prep_t(k_l), prep_t(K_l),
+            layout.to_packed(x0_l, nb)]
+    args += [layout.to_packed(a, nb)[0] for a in alphas_l]
+    in_specs = [tspec(NDX), tspec(nu), tspec(nu), tspec(nu, NDX), cspec(NDX)]
+    in_specs += [cspec()] * n_trials
+    if use_gaps:
+        args += [prep_t(fs_l[:T]),    # fs[t]   for the x0 contraction
+                 prep_t(fs_l[1:]),    # fs[t+1] for the step contraction
+                 layout.to_packed(infeas_l, nb)[0]]
+        in_specs += [tspec(NDX), tspec(NDX), cspec()]
+    args += [layout.to_packed(wterm_l, nb)[0]]
+    in_specs += [cspec()]
+    if spec.lb is not None:
+        # box as a runtime lane input (bound-continuation schedules
+        # share one compiled kernel); defaults to the spec's box
+        if lb_l is None:
+            lb_l = jnp.broadcast_to(jnp.asarray(spec.lb, dtype)[:, None], (nu, Bp))
+            ub_l = jnp.broadcast_to(jnp.asarray(spec.ub, dtype)[:, None], (nu, Bp))
+        args += [layout.to_packed(lb_l, nb), layout.to_packed(ub_l, nb)]
+        in_specs += [cspec(nu), cspec(nu)]
+
+    per_trial_out = [
+        jax.ShapeDtypeStruct((Tp, NDX, rows, nb), dtype),
+        jax.ShapeDtypeStruct((Tp, nu, rows, nb), dtype),
+        jax.ShapeDtypeStruct((rows, nb), dtype),
+    ]
+    per_trial_spec = [tspec(NDX), tspec(nu), cspec()]
+    out_shape = per_trial_out * n_trials + [
+        jax.ShapeDtypeStruct((n_trials, NDX, rows, nb), dtype)]
+    out_specs = per_trial_spec * n_trials + [cspec(n_trials, NDX)]
+
+    if n_trials == 1:
+        kern = functools.partial(_rollout_kernel, spec, T, Tc, NC, use_gaps)
+        scratch = [pltpu.VMEM((NDX, P, nb), dtype), pltpu.VMEM((P, nb), dtype)]
+        # single-trial kernel takes x0t_out before cost (grouped with outs)
+        out_shape = [per_trial_out[0], per_trial_out[1],
+                     jax.ShapeDtypeStruct((NDX, rows, nb), dtype),
+                     per_trial_out[2]]
+        out_specs = [per_trial_spec[0], per_trial_spec[1], cspec(NDX),
+                     per_trial_spec[2]]
+    else:
+        kern = functools.partial(_rollout2_kernel, spec, T, Tc, NC, use_gaps)
+        scratch = [pltpu.VMEM((NDX, P, nb), dtype), pltpu.VMEM((NDX, P, nb), dtype),
+                   pltpu.VMEM((2, P, nb), dtype)]
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(G, NC),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_structs(out_shape, xs_l),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+
+    results = []
+    if n_trials == 1:
+        xs_b, us_b, x0t_p, cost_p = outs
+        x0t = layout.from_packed(x0t_p)
+        results.append((
+            jnp.concatenate([x0t[None], layout.from_packed(xs_b)[:T]], axis=0),
+            layout.from_packed(us_b)[:T],
+            layout.from_packed(cost_p),
+        ))
+    else:
+        xs_a, us_a, c_a, xs_b2, us_b2, c_b, x0t_p = outs
+        x0ts = layout.from_packed(x0t_p)
+        for xs_o, us_o, c_o, x0t in ((xs_a, us_a, c_a, x0ts[0]),
+                                     (xs_b2, us_b2, c_b, x0ts[1])):
+            results.append((
+                jnp.concatenate([x0t[None], layout.from_packed(xs_o)[:T]], axis=0),
+                layout.from_packed(us_o)[:T],
+                layout.from_packed(c_o),
+            ))
+    return results
 
 
 def build_rollout2(spec: VSASpec, T: int, nb: int = 128,
@@ -398,50 +539,14 @@ def build_rollout2(spec: VSASpec, T: int, nb: int = 128,
     """Lane-IO two-trial rollout: same layout contract as the lane-io
     :func:`build_rollout` plus a second alpha input; returns
     (xs_a, us_a, cost_a, xs_b, us_b, cost_b)."""
-    nu = spec.nu
 
     def rollout2_lanes(xs_l, us_l, k_l, K_l, x0_l, alpha_a_l, alpha_b_l,
                        fs_l, infeas_l, wterm_l, lb_l=None, ub_l=None):
-        dtype = xs_l.dtype
-        Bp = xs_l.shape[-1]
-        grid = (Bp // nb,)
-
-        def spec_nd(*dims):
-            block = dims + (nb,)
-            n = len(block)
-            return pl.BlockSpec(block, lambda b: (0,) * (n - 1) + (b,), memory_space=pltpu.VMEM)
-
-        args = [xs_l[:T], us_l, k_l, K_l, x0_l, alpha_a_l, alpha_b_l,
-                fs_l, infeas_l, wterm_l]
-        in_specs = [spec_nd(T, NDX), spec_nd(T, nu), spec_nd(T, nu),
-                    spec_nd(T, nu, NDX), spec_nd(NDX), spec_nd(1), spec_nd(1),
-                    spec_nd(T + 1, NDX), spec_nd(1), spec_nd(1)]
-        if spec.lb is not None:
-            if lb_l is None:
-                lb_l = jnp.broadcast_to(
-                    jnp.asarray(spec.lb, dtype)[:, None], (nu, Bp))
-                ub_l = jnp.broadcast_to(
-                    jnp.asarray(spec.ub, dtype)[:, None], (nu, Bp))
-            args += [lb_l, ub_l]
-            in_specs += [spec_nd(nu), spec_nd(nu)]
-
-        kern = functools.partial(_rollout2_kernel, spec, T, use_gaps)
-        outs = pl.pallas_call(
-            kern,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=[spec_nd(T + 1, NDX), spec_nd(T, nu), spec_nd(8)] * 2,
-            out_shape=out_structs([
-                jax.ShapeDtypeStruct((T + 1, NDX, Bp), dtype),
-                jax.ShapeDtypeStruct((T, nu, Bp), dtype),
-                jax.ShapeDtypeStruct((8, Bp), dtype),
-            ] * 2, xs_l),
-            scratch_shapes=[pltpu.VMEM((NDX, nb), dtype),
-                            pltpu.VMEM((NDX, nb), dtype)],
-            interpret=interpret,
-        )(*args)
-        xs_a, us_a, c_a, xs_b, us_b, c_b = outs
-        return xs_a, us_a, c_a[0], xs_b, us_b, c_b[0]
+        (xs_a, us_a, c_a), (xs_b, us_b, c_b) = _rollout_call(
+            spec, T, nb, interpret, use_gaps, 2,
+            xs_l, us_l, k_l, K_l, x0_l, (alpha_a_l, alpha_b_l),
+            fs_l, infeas_l, wterm_l, lb_l, ub_l)
+        return xs_a, us_a, c_a, xs_b, us_b, c_b
 
     return rollout2_lanes
 
@@ -460,44 +565,11 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
 
     def rollout_lanes(xs_l, us_l, k_l, K_l, x0_l, alpha_l, fs_l, infeas_l,
                       wterm_l, lb_l=None, ub_l=None):
-        dtype = xs_l.dtype
-        Bp = xs_l.shape[-1]
-        grid = (Bp // nb,)
-
-        def spec_nd(*dims):
-            block = dims + (nb,)
-            n = len(block)
-            return pl.BlockSpec(block, lambda b: (0,) * (n - 1) + (b,), memory_space=pltpu.VMEM)
-
-        args = [xs_l[:T], us_l, k_l, K_l, x0_l, alpha_l, fs_l, infeas_l, wterm_l]
-        in_specs = [spec_nd(T, NDX), spec_nd(T, nu), spec_nd(T, nu), spec_nd(T, nu, NDX),
-                    spec_nd(NDX), spec_nd(1), spec_nd(T + 1, NDX), spec_nd(1), spec_nd(1)]
-        if spec.lb is not None:
-            # box as a runtime lane input (bound-continuation schedules
-            # share one compiled kernel); defaults to the spec's box
-            if lb_l is None:
-                lb_l = jnp.broadcast_to(
-                    jnp.asarray(spec.lb, dtype)[:, None], (nu, Bp))
-                ub_l = jnp.broadcast_to(
-                    jnp.asarray(spec.ub, dtype)[:, None], (nu, Bp))
-            args += [lb_l, ub_l]
-            in_specs += [spec_nd(nu), spec_nd(nu)]
-
-        kern = functools.partial(_rollout_kernel, spec, T, use_gaps)
-        xs_o, us_o, cost_o = pl.pallas_call(
-            kern,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=[spec_nd(T + 1, NDX), spec_nd(T, nu), spec_nd(8)],
-            out_shape=out_structs([
-                jax.ShapeDtypeStruct((T + 1, NDX, Bp), dtype),
-                jax.ShapeDtypeStruct((T, nu, Bp), dtype),
-                jax.ShapeDtypeStruct((8, Bp), dtype),
-            ], xs_l),
-            scratch_shapes=[pltpu.VMEM((NDX, nb), dtype)],
-            interpret=interpret,
-        )(*args)
-        return xs_o, us_o, cost_o[0]
+        [(xs_o, us_o, cost_o)] = _rollout_call(
+            spec, T, nb, interpret, use_gaps, 1,
+            xs_l, us_l, k_l, K_l, x0_l, (alpha_l,),
+            fs_l, infeas_l, wterm_l, lb_l, ub_l)
+        return xs_o, us_o, cost_o
 
     if lane_io:
         return rollout_lanes
@@ -505,7 +577,7 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
     def rollout_batched(xs, us, k, K, x0, alpha, fs, infeas, wterm=None):
         B = xs.shape[0]
         dtype = xs.dtype
-        Bp = ((B + nb - 1) // nb) * nb
+        Bp = layout.padded_batch(B, nb)
         if wterm is None:
             wterm = jnp.full((B,), spec.w_goal_term, dtype)
         else:
@@ -644,7 +716,7 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
     c_goal, r6 = _goal_cost_lanes(spec, q_l)
     # the terminal goal weight is a runtime lane input (homotopy ramps it);
     # the running weight stays a baked constant
-    w_goal = wterm_ref[0] if terminal else spec.w_goal
+    w_goal = wterm_ref[:] if terminal else spec.w_goal
 
     cost = w_goal * c_goal
     if not terminal:
@@ -657,9 +729,7 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
         if spec.stiff_w != 0.0:
             for i in range(NL):
                 cost = cost + float(spec.stiff_w) * (u[NL + i] - float(spec.stiff_ref[i]))
-    cost_ref[0] = cost
-    for r in range(1, 8):
-        cost_ref[r] = jnp.zeros_like(cost)
+    cost_ref[:] = cost
 
     # goal residual jacobian wrt q_l via jvp of the residual map (2 seeds)
     def res_fn(qq):
@@ -710,7 +780,7 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
         Lxx_rows.append(jnp.stack(row))
     Lxx_ref[:] = jnp.stack(Lxx_rows)
 
-    Lxu_ref[:] = jnp.zeros((NDX, spec.nu, like.shape[0]), dtype=dtype)
+    Lxu_ref[:] = jnp.zeros((NDX, spec.nu) + like.shape, dtype=dtype)
     Luu_rows = []
     for i in range(spec.nu):
         row = []
@@ -724,9 +794,8 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
 
     # -- integrator chain rule (IntegratedActionEuler.calc_with_diff) -----
     if terminal:
-        eyeN = jnp.eye(NDX, dtype=dtype)[:, :, None]
-        Fx_ref[:] = jnp.broadcast_to(eyeN, (NDX, NDX, like.shape[0])).astype(dtype)
-        Fu_ref[:] = jnp.zeros((NDX, spec.nu, like.shape[0]), dtype=dtype)
+        Fx_ref[:] = layout.eye_lanes(NDX, like).astype(dtype)
+        Fu_ref[:] = jnp.zeros((NDX, spec.nu) + like.shape, dtype=dtype)
         xnext_ref[:] = jnp.stack(x)
         return
 
@@ -787,80 +856,76 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
     def linearize_lanes(xs_l, us_l, wterm_l):
         dtype = xs_l.dtype
         Bp = xs_l.shape[-1]
-        grid = (T, Bp // nb)
+        rows, P, G = layout.pack_dims(Bp, nb)
 
-        def in_spec(*dims):
-            block = (1,) + dims + (nb,)
-            n = len(block)
-            return pl.BlockSpec(block, lambda t, b: (t,) + (0,) * (n - 2) + (b,), memory_space=pltpu.VMEM)
-
-        def out_spec(*dims):
-            block = (1,) + dims + (nb,)
-            n = len(block)
-            return pl.BlockSpec(block, lambda t, b: (t,) + (0,) * (n - 2) + (b,), memory_space=pltpu.VMEM)
+        def io_spec(*dims):
+            block = (1,) + dims + (P, nb)
+            n0 = len(dims)
+            return pl.BlockSpec(block, lambda t, b: (t,) + (0,) * n0 + (b, 0),
+                                memory_space=pltpu.VMEM)
 
         # batch-only input (terminal weight): same block for every knot
-        wterm_spec = pl.BlockSpec((1, nb), lambda t, b: (0, b), memory_space=pltpu.VMEM)
+        wterm_spec = pl.BlockSpec((1, P, nb), lambda t, b: (0, b, 0),
+                                  memory_space=pltpu.VMEM)
 
         def run_kernel(spec_, terminal):
             def kern(x_ref, u_ref, wterm_ref, Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref, xnext_ref, cost_ref):
                 _linearize_kernel(
                     spec_, terminal,
-                    x_ref.at[0], u_ref.at[0], wterm_ref,
+                    x_ref.at[0], u_ref.at[0], wterm_ref.at[0],
                     Fx_ref.at[0], Fu_ref.at[0], Lx_ref.at[0], Lu_ref.at[0],
                     Lxx_ref.at[0], Lxu_ref.at[0], Luu_ref.at[0],
                     xnext_ref.at[0], cost_ref.at[0])
             return kern
 
+        out_specs = [io_spec(NDX, NDX), io_spec(NDX, NU), io_spec(NDX), io_spec(NU),
+                     io_spec(NDX, NDX), io_spec(NDX, NU), io_spec(NU, NU),
+                     io_spec(NDX), io_spec()]
+
+        def shapes(nt):
+            return out_structs([
+                jax.ShapeDtypeStruct((nt, NDX, NDX, rows, nb), dtype),
+                jax.ShapeDtypeStruct((nt, NDX, NU, rows, nb), dtype),
+                jax.ShapeDtypeStruct((nt, NDX, rows, nb), dtype),
+                jax.ShapeDtypeStruct((nt, NU, rows, nb), dtype),
+                jax.ShapeDtypeStruct((nt, NDX, NDX, rows, nb), dtype),
+                jax.ShapeDtypeStruct((nt, NDX, NU, rows, nb), dtype),
+                jax.ShapeDtypeStruct((nt, NU, NU, rows, nb), dtype),
+                jax.ShapeDtypeStruct((nt, NDX, rows, nb), dtype),
+                jax.ShapeDtypeStruct((nt, rows, nb), dtype),
+            ], xs_l)
+
+        xs_p = layout.to_packed(xs_l, nb)
+        us_p = layout.to_packed(us_l, nb)
+        wterm_p = layout.to_packed(wterm_l, nb)
+
         outs = pl.pallas_call(
             run_kernel(spec, False),
-            grid=grid,
-            in_specs=[in_spec(NDX), in_spec(NU), wterm_spec],
-            out_specs=[out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NDX), out_spec(NU),
-                       out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NU, NU),
-                       out_spec(NDX), out_spec(8)],
-            out_shape=out_structs([
-                jax.ShapeDtypeStruct((T, NDX, NDX, Bp), dtype),
-                jax.ShapeDtypeStruct((T, NDX, NU, Bp), dtype),
-                jax.ShapeDtypeStruct((T, NDX, Bp), dtype),
-                jax.ShapeDtypeStruct((T, NU, Bp), dtype),
-                jax.ShapeDtypeStruct((T, NDX, NDX, Bp), dtype),
-                jax.ShapeDtypeStruct((T, NDX, NU, Bp), dtype),
-                jax.ShapeDtypeStruct((T, NU, NU, Bp), dtype),
-                jax.ShapeDtypeStruct((T, NDX, Bp), dtype),
-                jax.ShapeDtypeStruct((T, 8, Bp), dtype),
-            ], xs_l),
+            grid=(T, G),
+            in_specs=[io_spec(NDX), io_spec(NU), wterm_spec],
+            out_specs=out_specs,
+            out_shape=shapes(T),
             interpret=interpret,
-        )(xs_l[:T], us_l, wterm_l)
-        Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, xnext, costs = outs
+        )(xs_p[:T], us_p, wterm_p)
+        Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, xnext, costs = (
+            layout.from_packed(o) for o in outs)
 
         # terminal knot: single-knot grid
         term_outs = pl.pallas_call(
             run_kernel(spec, True),
-            grid=(1, Bp // nb),
-            in_specs=[in_spec(NDX), in_spec(NU), wterm_spec],
-            out_specs=[out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NDX), out_spec(NU),
-                       out_spec(NDX, NDX), out_spec(NDX, NU), out_spec(NU, NU),
-                       out_spec(NDX), out_spec(8)],
-            out_shape=out_structs([
-                jax.ShapeDtypeStruct((1, NDX, NDX, Bp), dtype),
-                jax.ShapeDtypeStruct((1, NDX, NU, Bp), dtype),
-                jax.ShapeDtypeStruct((1, NDX, Bp), dtype),
-                jax.ShapeDtypeStruct((1, NU, Bp), dtype),
-                jax.ShapeDtypeStruct((1, NDX, NDX, Bp), dtype),
-                jax.ShapeDtypeStruct((1, NDX, NU, Bp), dtype),
-                jax.ShapeDtypeStruct((1, NU, NU, Bp), dtype),
-                jax.ShapeDtypeStruct((1, NDX, Bp), dtype),
-                jax.ShapeDtypeStruct((1, 8, Bp), dtype),
-            ], xs_l),
+            grid=(1, G),
+            in_specs=[io_spec(NDX), io_spec(NU), wterm_spec],
+            out_specs=out_specs,
+            out_shape=shapes(1),
             interpret=interpret,
-        )(xs_l[T:T + 1], us_l[:1] * 0.0, wterm_l)
-        tFx, tFu, tLx, tLu, tLxx, tLxu, tLuu, _, tcost = term_outs
+        )(xs_p[T:T + 1], us_p[:1] * 0.0, wterm_p)
+        tFx, tFu, tLx, tLu, tLxx, tLxu, tLuu, _, tcost = (
+            layout.from_packed(o) for o in term_outs)
 
         run = dict(Fx=Fx, Fu=Fu, Lx=Lx, Lu=Lu, Lxx=Lxx, Lxu=Lxu, Luu=Luu)
         term = dict(Fx=tFx[0], Fu=tFu[0], Lx=tLx[0], Lu=tLu[0],
                     Lxx=tLxx[0], Lxu=tLxu[0], Luu=tLuu[0])
-        cost = jnp.sum(costs[:, 0, :], axis=0) + tcost[0, 0]
+        cost = jnp.sum(costs, axis=0) + tcost[0]
         return cost, run, term, xnext
 
     if lane_io:
@@ -870,7 +935,7 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
         # xs [B, T+1, 8], us [B, T, 4]
         B = xs.shape[0]
         dtype = xs.dtype
-        Bp = ((B + nb - 1) // nb) * nb
+        Bp = layout.padded_batch(B, nb)
         if wterm is None:
             wterm = jnp.full((B,), spec.w_goal_term, dtype)
         else:

@@ -93,12 +93,15 @@ def main():
     jax.block_until_ready(jnp.zeros(()) + 1.0)
     print(f"[probe] device claimed +{time.perf_counter()-t0:.1f}s on "
           f"{jax.devices()[0].platform}", file=sys.stderr, flush=True)
-    a = bench("1d-128", (1, 128), 1)       # value shape [128] (today)
-    b = bench("2d-8x128", (8, 128), 2)     # value shape [8,128] (packed)
-    a8 = bench("1d-128/ilp8", (1, 128), 1, ilp=8)    # 8 indep chains
-    b8 = bench("8x128/ilp8", (8, 128), 2, ilp=8)
-    print(f"serial: 8x128 vs 128: {a/b:.2f}x ; "
-          f"ilp8: {a8/b8:.2f}x ; packed-ilp8 vs serial-1d: {a/b8:.2f}x")
+    res = {}
+    for p in (1, 2, 4, 8):
+        for ilp in (1, 2, 4, 8):
+            res[(p, ilp)] = bench(f"{p}x128/ilp{ilp}", (p, 128), 2 if p > 1 else 1,
+                                  ilp=ilp)
+    base = res[(1, 1)]
+    print("speedup vs 1x128/ilp1 (same total work):")
+    for (p, ilp), dt in sorted(res.items()):
+        print(f"  P={p} ilp={ilp}: {base/dt:5.2f}x")
 
 
 if __name__ == "__main__":
