@@ -64,6 +64,7 @@ class _LaneState(NamedTuple):
     done: jnp.ndarray      # [Bp] bool
     converged: jnp.ndarray
     diverged: jnp.ndarray
+    kprev: jnp.ndarray     # [T, nu, Bp] previous k (BoxQP warm start)
 
 
 def _sel(pred, new, old):
@@ -93,8 +94,9 @@ def build_lane_solver(
     lin = build_linearize(spec, T, nb, interpret, lane_io=True)
     roll2 = build_rollout2(spec, T, nb, interpret, use_gaps=use_gaps)
     boxed = bounds is not None
+    box_pk = spec.per_knot_box
     if boxed:
-        lb = jnp.asarray(bounds.lb)
+        lb = jnp.asarray(bounds.lb)      # [nu] shared, or [T, nu] per-knot
         ub = jnp.asarray(bounds.ub)
 
     def solve_batch(x0s, xs_init=None, us_init=None, wterm_scale=None,
@@ -119,7 +121,18 @@ def build_lane_solver(
                else to_lanes(xs_init))
         us0 = (jnp.zeros((T, nu, Bp), dtype) if us_init is None
                else to_lanes(us_init))
-        if boxed:
+        if boxed and box_pk:
+            # per-knot [T, nu] box: a build-time constant of the kernels
+            # (SMEM tables closed over by the builders) — incompatible with
+            # the runtime bound continuation
+            if box_ub is not None:
+                raise ValueError("box_ub continuation requires a shared "
+                                 "(non-per-knot) control box")
+            us0 = jnp.clip(us0, lb.astype(dtype)[:, :, None],
+                           ub.astype(dtype)[:, :, None])
+            lb_pk = lb.astype(dtype)
+            ub_pk = ub.astype(dtype)
+        elif boxed:
             # box_ub ([nu], traced) overrides the upper bound at runtime —
             # the stiffness-bound continuation's per-stage box
             ub_eff = ub.astype(dtype) if box_ub is None else jnp.asarray(box_ub, dtype)
@@ -148,21 +161,29 @@ def build_lane_solver(
             done=pad_mask,
             converged=jnp.zeros((Bp,), bool),
             diverged=jnp.zeros((Bp,), bool),
+            kprev=jnp.zeros((T, nu, Bp), dtype),
         ), x0_l)
 
-        def backward(run, term, us_l, fs_l, reg):
+        warm = boxed and s.boxqp_warm_iters > 0
+        qp_iters = s.boxqp_warm_iters if warm else s.boxqp_iters
+        if boxed:
+            blb, bub = (lb_pk, ub_pk) if box_pk else (lb_l, ub_l)
+
+        def backward(run, term, us_l, fs_l, reg, kprev_l):
             if boxed and use_gaps:
                 out = riccati_boxfddp_backward_lanes(
                     run["Fx"], run["Fu"], run["Lx"], run["Lu"],
                     run["Lxx"], run["Lxu"], run["Luu"],
-                    term["Lx"], term["Lxx"], fs_l, us_l, lb_l, ub_l, reg,
-                    qp_iters=s.boxqp_iters, nb=nb, interpret=interpret)
+                    term["Lx"], term["Lxx"], fs_l, us_l, blb, bub, reg,
+                    qp_iters=qp_iters, nb=nb, interpret=interpret,
+                    per_knot_box=box_pk, kprev_l=kprev_l)
             elif boxed:
                 out = riccati_box_backward_lanes(
                     run["Fx"], run["Fu"], run["Lx"], run["Lu"],
                     run["Lxx"], run["Lxu"], run["Luu"],
-                    term["Lx"], term["Lxx"], us_l, lb_l, ub_l, reg,
-                    qp_iters=s.boxqp_iters, nb=nb, interpret=interpret)
+                    term["Lx"], term["Lxx"], us_l, blb, bub, reg,
+                    qp_iters=qp_iters, nb=nb, interpret=interpret,
+                    per_knot_box=box_pk, kprev_l=kprev_l)
             else:
                 out = riccati_fddp_backward_lanes(
                     run["Fx"], run["Fu"], run["Lx"], run["Lu"],
@@ -193,9 +214,10 @@ def build_lane_solver(
                     jnp.isfinite(leaf), axis=tuple(range(leaf.ndim - 1)))
 
             bw_fs = fs_l if use_gaps else zeros_fs
+            kp = st.kprev if warm else None
 
             # -- backward pass with per-lane regularization retry ----------
-            bw0 = backward(run, term, st.us, bw_fs, st.reg)
+            bw0 = backward(run, term, st.us, bw_fs, st.reg, kp)
 
             def bw_pred(reg, bw, tries):
                 return ((~bw.ok) & bw.retryable & (reg < s.reg_max)
@@ -209,7 +231,7 @@ def build_lane_solver(
                 reg, bw, tries = c
                 pred = bw_pred(reg, bw, tries)
                 reg2 = jnp.where(pred, jnp.minimum(reg * s.reg_factor, s.reg_max), reg)
-                bw2 = backward(run, term, st.us, bw_fs, reg2)
+                bw2 = backward(run, term, st.us, bw_fs, reg2, kp)
                 bw_m = jax.tree.map(lambda n, o: _sel(pred, n, o), bw2, bw)
                 return reg2, bw_m, tries + pred.astype(jnp.int32)
 
@@ -263,7 +285,9 @@ def build_lane_solver(
                 pred = ls_pred(i, accepted)
                 alpha_a = jnp.take(alphas, jnp.clip(i, 0, s.n_alphas - 1))
                 alpha_b2 = jnp.take(alphas, jnp.clip(i + 1, 0, s.n_alphas - 1))
-                roll_box = (lb_l, ub_l) if boxed else ()
+                # per-knot boxes are baked into the rollout kernel (SMEM
+                # tables); only the shared runtime box rides lane inputs
+                roll_box = (lb_l, ub_l) if boxed and not box_pk else ()
                 xs_ta, us_ta, cost_ta, xs_tb, us_tb, cost_tb = roll2(
                     st.xs, st.us, bw.k, bw.K, x0_l,
                     alpha_a[None, :], alpha_b2[None, :],
@@ -322,6 +346,7 @@ def build_lane_solver(
                 done=jnp.where(active, done, st.done),
                 converged=jnp.where(active, converged, st.converged),
                 diverged=jnp.where(active, diverged, st.diverged),
+                kprev=_sel(active & bw.ok, bw.k, st.kprev),
             )
 
         final = jax.lax.while_loop(lambda st: jnp.any(~st.done), body, init)

@@ -170,11 +170,28 @@ def _boxqp_lanes(Quu, Qu, low, up, qp_iters, x0=None):
 # backward). With front padding (pick_chunks), knots at global index < pad
 # are masked no-ops whose k/K rows the host slices off.
 
-def _riccati_box_kernel(Tc, NC, pad, qp_iters,
-                        Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
-                        tLx_ref, tLxx_ref, us_ref, lb_ref, ub_ref, reg_ref,
-                        k_ref, K_ref, stats_ref, Vx_out_ref, Vxx_out_ref,
-                        Vx_s, Vxx_s):
+def _box_at(lb_ref, ub_ref, u_t, trow, box_pk):
+    """Per-knot QP bounds ``(lb - u, ub - u)``: whole-table [Tp, nu] SMEM
+    scalar rows indexed by global knot ``trow`` when ``box_pk``, lane
+    blocks [nu, batch...] otherwise."""
+    if box_pk:
+        nu = u_t.shape[0]
+        low = jnp.stack([lb_ref[trow, j] - u_t[j] for j in range(nu)])
+        up = jnp.stack([ub_ref[trow, j] - u_t[j] for j in range(nu)])
+        return low, up
+    return lb_ref[:] - u_t, ub_ref[:] - u_t
+
+
+def _riccati_box_kernel(Tc, NC, pad, qp_iters, box_pk, warm, *refs):
+    if warm:
+        (Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
+         tLx_ref, tLxx_ref, us_ref, kprev_ref, lb_ref, ub_ref, reg_ref,
+         k_ref, K_ref, stats_ref, Vx_out_ref, Vxx_out_ref, Vx_s, Vxx_s) = refs
+    else:
+        (Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
+         tLx_ref, tLxx_ref, us_ref, lb_ref, ub_ref, reg_ref,
+         k_ref, K_ref, stats_ref, Vx_out_ref, Vxx_out_ref, Vx_s, Vxx_s) = refs
+        kprev_ref = None
     dtype = Fx_ref.dtype
     reg = reg_ref[:]                      # [P, nb]
     j = pl.program_id(1)
@@ -187,8 +204,6 @@ def _riccati_box_kernel(Tc, NC, pad, qp_iters,
         stats_ref[:] = jnp.zeros_like(stats_ref)
 
     zeros = jnp.zeros_like(reg)
-    lb = lb_ref[:]                        # [4, P, nb]
-    ub = ub_ref[:]
 
     def body(i, carry):
         dg, dq, stop, indef = carry
@@ -207,9 +222,10 @@ def _riccati_box_kernel(Tc, NC, pad, qp_iters,
         Quu = add_diag(Luu_ref[t] + _matmul(FuTVxx, Fu), reg)
 
         u_t = us_ref[t]                   # [4,P,nb]
-        low = lb - u_t
-        up = ub - u_t
-        du, free = _boxqp_lanes(Quu, Qu, low, up, qp_iters)
+        low, up = _box_at(lb_ref, ub_ref, u_t, c * Tc + t, box_pk)
+        # warm start: previous solver iteration's du = -k at this knot
+        x0 = None if kprev_ref is None else -kprev_ref[t]
+        du, free = _boxqp_lanes(Quu, Qu, low, up, qp_iters, x0)
         k = -du                           # [4,P,nb]
         QxuT = _transpose12(Qxu)                          # [4,8,P,nb]
         K = _masked_chol_solve(Quu, free, QxuT)           # [4,8,P,nb]
@@ -260,13 +276,21 @@ def _riccati_box_kernel(Tc, NC, pad, qp_iters,
     Vxx_out_ref[:] = Vxx_s[:]
 
 
-def _riccati_fddp_kernel(Tc, NC, pad, nu, boxed, qp_iters, *refs):
+def _riccati_fddp_kernel(Tc, NC, pad, nu, boxed, qp_iters, box_pk, warm, *refs):
     """FDDP / BoxFDDP backward chunk: deflected Vx (+ Vxx fs) stored at
     every node (Crocoddyl SolverFDDP::backwardPass), per-node Vxx emitted
     for the line search's dv correction, and the gap terms of the expected
     improvement accumulated in-kernel. ``boxed`` adds the per-knot masked
-    BoxQP / free-clamped gain partition (Crocoddyl SolverBoxFDDP)."""
-    if boxed:
+    BoxQP / free-clamped gain partition (Crocoddyl SolverBoxFDDP);
+    ``warm`` its active-set warm start (kprev input)."""
+    kprev_ref = None
+    if boxed and warm:
+        (Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
+         tLx_ref, tLxx_ref, fs_ref, fsT_ref, us_ref, kprev_ref, lb_ref,
+         ub_ref, reg_ref,
+         k_ref, K_ref, Vxx_all_ref, VxxT_ref, stats_ref, cVx_ref, cVxx_ref,
+         Vx_s, Vxx_s) = refs
+    elif boxed:
         (Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
          tLx_ref, tLxx_ref, fs_ref, fsT_ref, us_ref, lb_ref, ub_ref, reg_ref,
          k_ref, K_ref, Vxx_all_ref, VxxT_ref, stats_ref, cVx_ref, cVxx_ref,
@@ -296,9 +320,6 @@ def _riccati_fddp_kernel(Tc, NC, pad, nu, boxed, qp_iters, *refs):
         stats_ref[5] = jnp.sum(fsT * _matvec(VxxT, fsT), axis=0)
 
     zeros = jnp.zeros_like(reg)
-    if boxed:
-        lb = lb_ref[:]
-        ub = ub_ref[:]
 
     def body(i, carry):
         dg, dq, stop, dg_gap, dq_gap, indef = carry
@@ -319,7 +340,9 @@ def _riccati_fddp_kernel(Tc, NC, pad, nu, boxed, qp_iters, *refs):
         QxuT = _transpose12(Qxu)
         if boxed:
             u_t = us_ref[t]
-            du, free = _boxqp_lanes(Quu, Qu, lb - u_t, ub - u_t, qp_iters)
+            low, up = _box_at(lb_ref, ub_ref, u_t, c * Tc + t, box_pk)
+            x0 = None if kprev_ref is None else -kprev_ref[t]
+            du, free = _boxqp_lanes(Quu, Qu, low, up, qp_iters, x0)
             k = -du
             K = _masked_chol_solve(Quu, free, QxuT)
         else:
@@ -437,13 +460,17 @@ def riccati_box_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
                                tLx_l, tLxx_l, us_l, lb_l, ub_l, reg,
                                qp_iters: int = _QP_ITERS, nb: int = NB,
                                t_chunk: int = 25,
-                               interpret: bool = False) -> BoxBackwardOut:
+                               interpret: bool = False,
+                               per_knot_box: bool = False,
+                               kprev_l=None) -> BoxBackwardOut:
     """Lane-IO fused Box backward: no batch-major transposes.
 
     Inputs already in lane layout: Fx_l [T,8,8,Bp], Fu_l [T,8,4,Bp],
     Lx_l [T,8,Bp], Lu_l [T,4,Bp], Lxx_l [T,8,8,Bp], Lxu_l [T,8,4,Bp],
     Luu_l [T,4,4,Bp], tLx_l [8,Bp], tLxx_l [8,8,Bp], us_l [T,4,Bp],
-    lb_l/ub_l [4,Bp], reg [Bp] (Bp satisfying :func:`.layout.padded_batch`).
+    lb_l/ub_l [4,Bp] (with ``per_knot_box``: batch-invariant [T, 4]
+    tables, reference per-node bounds two_dof_vsa_boxddp.py:59-60),
+    reg [Bp] (Bp satisfying :func:`.layout.padded_batch`).
     Returns a :class:`BoxBackwardOut` whose k/K stay in lane layout
     ([T,4,Bp] / [T,4,8,Bp]); stats are [Bp] vectors.
     """
@@ -457,11 +484,6 @@ def riccati_box_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
     def prep(x):
         return to_packed(_pad_front_t(x, pad), nb)
 
-    args = [prep(Fx_l), prep(Fu_l), prep(Lx_l), prep(Lu_l),
-            prep(Lxx_l), prep(Lxu_l), prep(Luu_l),
-            to_packed(tLx_l, nb), to_packed(tLxx_l, nb), prep(us_l),
-            to_packed(lb_l, nb), to_packed(ub_l, nb), to_packed(reg[None], nb)[0]]
-
     def tspec(*dims):
         block = (Tc,) + dims + (P, nb)
         n0 = len(dims)
@@ -474,14 +496,36 @@ def riccati_box_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
         return pl.BlockSpec(block, lambda b, j: (0,) * n0 + (b, 0),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_riccati_box_kernel, Tc, NC, pad, qp_iters)
+    if per_knot_box:
+        box_args = [_pad_front_t(jnp.asarray(lb_l, dtype), pad),
+                    _pad_front_t(jnp.asarray(ub_l, dtype), pad)]
+        # whole [Tp, nu] table in SMEM (Mosaic: non-tile-aligned blocks
+        # must equal the array); kernels index rows by global knot
+        box_spec = pl.BlockSpec((Tp, NU), lambda b, j: (0, 0),
+                                memory_space=pltpu.SMEM)
+        box_specs = [box_spec, box_spec]
+    else:
+        box_args = [to_packed(lb_l, nb), to_packed(ub_l, nb)]
+        box_specs = [cspec(NU), cspec(NU)]
+
+    warm = kprev_l is not None
+    warm_args = [prep(kprev_l)] if warm else []
+    warm_specs = [tspec(NU)] if warm else []
+    args = [prep(Fx_l), prep(Fu_l), prep(Lx_l), prep(Lu_l),
+            prep(Lxx_l), prep(Lxu_l), prep(Luu_l),
+            to_packed(tLx_l, nb), to_packed(tLxx_l, nb), prep(us_l),
+            *warm_args, *box_args, to_packed(reg[None], nb)[0]]
+
+    kernel = functools.partial(_riccati_box_kernel, Tc, NC, pad, qp_iters,
+                               per_knot_box, warm)
     k_p, K_p, stats_p, _, _ = pl.pallas_call(
         kernel,
         grid=(G, NC),
         in_specs=[
             tspec(NDX, NDX), tspec(NDX, NU), tspec(NDX), tspec(NU),
             tspec(NDX, NDX), tspec(NDX, NU), tspec(NU, NU),
-            cspec(NDX), cspec(NDX, NDX), tspec(NU), cspec(NU), cspec(NU), cspec(),
+            cspec(NDX), cspec(NDX, NDX), tspec(NU), *warm_specs,
+            *box_specs, cspec(),
         ],
         out_specs=[tspec(NU), tspec(NU, NDX), cspec(8), cspec(NDX), cspec(NDX, NDX)],
         out_shape=out_structs([
@@ -509,8 +553,10 @@ def riccati_box_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
 
 def _fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
                        tLx_l, tLxx_l, fs_l, reg, us_l, lb_l, ub_l,
-                       nu, qp_iters, nb, t_chunk, interpret) -> FddpBackwardOut:
+                       nu, qp_iters, nb, t_chunk, interpret,
+                       per_knot_box=False, kprev_l=None) -> FddpBackwardOut:
     boxed = us_l is not None
+    warm = kprev_l is not None
     T = Fx_l.shape[0]
     dtype = Fx_l.dtype
     Bp = Fx_l.shape[-1]
@@ -520,14 +566,6 @@ def _fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
 
     def prep(x):
         return to_packed(_pad_front_t(x, pad), nb)
-
-    args = [prep(Fx_l), prep(Fu_l), prep(Lx_l), prep(Lu_l),
-            prep(Lxx_l), prep(Lxu_l), prep(Luu_l),
-            to_packed(tLx_l, nb), to_packed(tLxx_l, nb),
-            prep(fs_l[:T]), to_packed(fs_l[T], nb)]
-    if boxed:
-        args += [prep(us_l), to_packed(lb_l, nb), to_packed(ub_l, nb)]
-    args += [to_packed(reg[None], nb)[0]]
 
     def tspec(*dims):
         block = (Tc,) + dims + (P, nb)
@@ -541,16 +579,35 @@ def _fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
         return pl.BlockSpec(block, lambda b, j: (0,) * n0 + (b, 0),
                             memory_space=pltpu.VMEM)
 
+    args = [prep(Fx_l), prep(Fu_l), prep(Lx_l), prep(Lu_l),
+            prep(Lxx_l), prep(Lxu_l), prep(Luu_l),
+            to_packed(tLx_l, nb), to_packed(tLxx_l, nb),
+            prep(fs_l[:T]), to_packed(fs_l[T], nb)]
     in_specs = [
         tspec(NDX, NDX), tspec(NDX, nu), tspec(NDX), tspec(nu),
         tspec(NDX, NDX), tspec(NDX, nu), tspec(nu, nu),
         cspec(NDX), cspec(NDX, NDX), tspec(NDX), cspec(NDX),
     ]
     if boxed:
-        in_specs += [tspec(nu), cspec(nu), cspec(nu)]
+        args += [prep(us_l)]
+        in_specs += [tspec(nu)]
+        if warm:
+            args += [prep(kprev_l)]
+            in_specs += [tspec(nu)]
+        if per_knot_box:
+            box_spec = pl.BlockSpec((Tp, nu), lambda b, j: (0, 0),
+                                    memory_space=pltpu.SMEM)
+            args += [_pad_front_t(jnp.asarray(lb_l, dtype), pad),
+                     _pad_front_t(jnp.asarray(ub_l, dtype), pad)]
+            in_specs += [box_spec, box_spec]
+        else:
+            args += [to_packed(lb_l, nb), to_packed(ub_l, nb)]
+            in_specs += [cspec(nu), cspec(nu)]
+    args += [to_packed(reg[None], nb)[0]]
     in_specs += [cspec()]
 
-    kernel = functools.partial(_riccati_fddp_kernel, Tc, NC, pad, nu, boxed, qp_iters)
+    kernel = functools.partial(_riccati_fddp_kernel, Tc, NC, pad, nu, boxed,
+                               qp_iters, per_knot_box, warm)
     k_p, K_p, Vxx_p, VxxT_p, stats_p, _, _ = pl.pallas_call(
         kernel,
         grid=(G, NC),
@@ -610,15 +667,19 @@ def riccati_boxfddp_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
                                    tLx_l, tLxx_l, fs_l, us_l, lb_l, ub_l, reg,
                                    qp_iters: int = _QP_ITERS, nb: int = NB,
                                    t_chunk: int = 25,
-                                   interpret: bool = False) -> FddpBackwardOut:
+                                   interpret: bool = False,
+                                   per_knot_box: bool = False,
+                                   kprev_l=None) -> FddpBackwardOut:
     """Lane-IO fused BoxFDDP backward (gaps + bounds): FDDP deflected value
     recursion + gap accumulators with the masked BoxQP gain partition.
     Same layout contract as :func:`riccati_fddp_backward_lanes` plus
-    us_l [T,nu,Bp] and lb_l/ub_l [nu,Bp]."""
+    us_l [T,nu,Bp] and lb_l/ub_l [nu,Bp] (``per_knot_box``: [T, nu]);
+    ``kprev_l`` [T,nu,Bp] warm-starts the QPs from the previous k."""
     nu = Fu_l.shape[2]
     return _fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
                               tLx_l, tLxx_l, fs_l, reg, us_l, lb_l, ub_l,
-                              nu, qp_iters, nb, t_chunk, interpret)
+                              nu, qp_iters, nb, t_chunk, interpret,
+                              per_knot_box=per_knot_box, kprev_l=kprev_l)
 
 
 def _to_lane_layout(x, Bp):
@@ -631,9 +692,10 @@ def _to_lane_layout(x, Bp):
 def riccati_boxfddp_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
                              fs, us, lb, ub, reg, qp_iters: int = _QP_ITERS,
                              nb: int = NB, t_chunk: int = 25,
-                             interpret: bool = False) -> FddpBackwardOut:
+                             interpret: bool = False,
+                             kprev=None) -> FddpBackwardOut:
     """Batched fused BoxFDDP backward (batch-major inputs: fs [B,T+1,8],
-    us [B,T,nu], lb/ub [B,nu])."""
+    us [B,T,nu], lb/ub [B,nu]; ``kprev`` [B,T,nu] warm-starts the QPs)."""
     B = Fx.shape[0]
     dtype = Fx.dtype
     Bp = padded_batch(B, nb)
@@ -648,7 +710,8 @@ def riccati_boxfddp_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
     out = riccati_boxfddp_backward_lanes(
         Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l, tLx_l, tLxx_l, fs_l,
         us_l, lb_l, ub_l, reg_p, qp_iters=qp_iters, nb=nb, t_chunk=t_chunk,
-        interpret=interpret)
+        interpret=interpret,
+        kprev_l=None if kprev is None else tl(kprev))
     k = jnp.transpose(out.k, (2, 0, 1))[:B]
     K = jnp.transpose(out.K, (3, 0, 1, 2))[:B]
     Vxx = jnp.transpose(out.Vxx, (3, 0, 1, 2))[:B]
@@ -693,12 +756,13 @@ def riccati_fddp_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
 def riccati_box_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
                          us, lb, ub, reg, qp_iters: int = _QP_ITERS,
                          nb: int = NB, t_chunk: int = 25,
-                         interpret: bool = False) -> BoxBackwardOut:
+                         interpret: bool = False, kprev=None) -> BoxBackwardOut:
     """Batched fused backward pass.
 
     Batch-major inputs: Fx [B,T,8,8], Fu [B,T,8,4], Lx [B,T,8], Lu [B,T,4],
     Lxx [B,T,8,8], Lxu [B,T,8,4], Luu [B,T,4,4], term_Lx [B,8],
-    term_Lxx [B,8,8], us [B,T,4], lb/ub [B,4], reg [B].
+    term_Lxx [B,8,8], us [B,T,4], lb/ub [B,4], reg [B]; ``kprev`` [B,T,4]
+    warm-starts the per-knot QPs from the previous solver iteration's k.
     """
     B = Fx.shape[0]
     dtype = Fx.dtype
@@ -714,7 +778,8 @@ def riccati_box_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
     out = riccati_box_backward_lanes(
         Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l, tLx_l, tLxx_l,
         us_l, lb_l, ub_l, reg_p, qp_iters=qp_iters, nb=nb, t_chunk=t_chunk,
-        interpret=interpret)
+        interpret=interpret,
+        kprev_l=None if kprev is None else tl(kprev))
     k = jnp.transpose(out.k, (2, 0, 1))[:B]           # [B,T,4]
     K = jnp.transpose(out.K, (3, 0, 1, 2))[:B]        # [B,T,4,8]
     return BoxBackwardOut(k=k, K=K, dg=out.dg[:B], dq=out.dq[:B],

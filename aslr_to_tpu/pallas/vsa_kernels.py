@@ -43,29 +43,71 @@ class VSASpec(NamedTuple):
     dt: float
     binv: np.ndarray          # [2,2] inverse motor inertia
     frame_id: int
-    target_rot_inv: np.ndarray  # [3,3] target placement inverse rotation
-    target_pos: np.ndarray      # [3] target translation
+    target_rot_inv: np.ndarray  # [3,3] target inverse rotation ([T,3,3] per-knot)
+    target_pos: np.ndarray      # [3] target translation ([T,3] per-knot)
     w_goal: float
     w_goal_term: float
     xw: np.ndarray            # [8] combined state-reg weights (weight * activation)
     uw: np.ndarray            # [4] combined control-reg weights
     stiff_w: float            # combined linear stiffness weight (weight * lamda)
     stiff_ref: np.ndarray     # [2] stiffness reference
-    lb: np.ndarray            # [nu] (None: unbounded, e.g. SEA/FDDP)
+    lb: np.ndarray            # [nu] (None: unbounded; [T, nu] per-knot box)
     ub: np.ndarray
     variant: str = "vsa"      # "vsa" (stiffness in u, nu=4) | "sea" (fixed K, nu=2)
     K: np.ndarray = None      # [2,2] spring matrix (SEA)
     nu: int = 4
+    # terminal target when it differs from the (per-knot) running target
+    term_target_rot_inv: np.ndarray = None   # [3,3]
+    term_target_pos: np.ndarray = None       # [3]
+
+    @property
+    def per_knot_target(self) -> bool:
+        return self.target_rot_inv is not None and np.ndim(self.target_rot_inv) == 3
+
+    @property
+    def per_knot_box(self) -> bool:
+        return self.lb is not None and np.ndim(self.lb) == 2
+
+    def target_table(self, T: int, dtype) -> np.ndarray:
+        """[T, 12] per-knot target rows (flattened R_inv | pos) for the
+        kernels' SMEM input; broadcast when the target is shared."""
+        Ri = np.asarray(self.target_rot_inv, dtype=np.float64)
+        tp = np.asarray(self.target_pos, dtype=np.float64)
+        if not self.per_knot_target:
+            Ri = np.broadcast_to(Ri, (T, 3, 3))
+            tp = np.broadcast_to(tp, (T, 3))
+        return np.concatenate(
+            [Ri.reshape(T, 9), tp.reshape(T, 3)], axis=1).astype(dtype)
 
 
 def extract_vsa_spec(problem, bounds) -> VSASpec:
-    """Introspect a concrete ShootingProblem built from the VSA presets."""
-    if getattr(problem, "per_knot", False):
-        raise TypeError("fast path requires identical knots (per_knot=False); "
-                        "per-knot problems use the generic solver")
-    if bounds is not None and np.ndim(bounds.lb) != 1:
-        raise TypeError("fast path requires a single shared control box; "
-                        "per-knot [T, nu] bounds use the generic solver")
+    """Introspect a concrete ShootingProblem built from the VSA presets.
+
+    Per-knot problems (``problem.per_knot``, reference generality: models
+    attached per node, ``two_dof_vsa_boxddp.py:59-60``) are covered when
+    the knot-to-knot variation is limited to the frame-placement target
+    (time-varying tracking, examples/mpc_tracking.py) and/or the control
+    box ([T, nu] Bounds); any other varying leaf raises TypeError and the
+    problem runs on the generic path.
+    """
+    per_knot = bool(getattr(problem, "per_knot", False))
+    T = problem.T
+
+    def const(leaf, what):
+        """Per-knot pytree leaves (stacked [T, ...] by ``stack_knots``) must
+        be constant across knots — only the frame target and the control box
+        may vary (static dataclass fields are never stacked)."""
+        a = np.asarray(leaf)
+        if per_knot and a.ndim >= 1 and a.shape[0] == T:
+            if not np.all(a == a[:1]):
+                raise TypeError(f"fast path requires knot-constant {what}; "
+                                "only the frame target and the control box "
+                                "may vary per knot")
+            a = a[0]
+        return a
+
+    if bounds is not None and np.ndim(bounds.lb) not in (1, 2):
+        raise TypeError("bounds must be [nu] shared or [T, nu] per-knot")
     from ..models.costs import (
         ActivationModelQuad,
         ActivationModelWeightedQuad,
@@ -86,10 +128,10 @@ def extract_vsa_spec(problem, bounds) -> VSASpec:
         from ..models.actuation import ASRActuation
         if not isinstance(diff.actuation, ASRActuation):
             raise TypeError("SEA fast path requires ASRActuation")
-        variant, nu, K = "sea", 2, np.asarray(diff.K, dtype=np.float64)
+        variant, nu, K = "sea", 2, const(diff.K, "spring matrix")
     else:
         raise TypeError("fast path requires VSA or SEA dynamics")
-    robot = diff.state.robot
+    robot = (problem.knot_model(0) if per_knot else running).differential.state.robot
     if robot.nv != NL:
         raise TypeError("fast path requires a 2-DoF chain")
 
@@ -97,7 +139,7 @@ def extract_vsa_spec(problem, bounds) -> VSASpec:
         if isinstance(cost.activation, ActivationModelQuad):
             return np.ones(nr)
         if isinstance(cost.activation, ActivationModelWeightedQuad):
-            return np.asarray(cost.activation.weights, dtype=np.float64)
+            return const(cost.activation.weights, "activation weights")
         raise TypeError(f"unsupported activation {type(cost.activation)}")
 
     w_goal = w_goal_term = 0.0
@@ -111,24 +153,28 @@ def extract_vsa_spec(problem, bounds) -> VSASpec:
 
     for it in diff.costs.items:
         c = it.cost
-        w = float(np.asarray(it.weight))
+        w = float(const(it.weight, "cost weight"))
         if isinstance(c, CostModelStiffness):
-            stiff_w += w * float(np.asarray(c.lamda))
+            stiff_w += w * float(const(c.lamda, "stiffness lamda"))
             if c.Kref is not None:
-                stiff_ref = np.asarray(c.Kref, dtype=np.float64)
+                stiff_ref = const(c.Kref, "stiffness reference").astype(np.float64)
             continue
         if not isinstance(c, CostModelResidual):
             raise TypeError(f"unsupported running cost {type(c)}")
         r = c.residual
         if isinstance(r, ResidualModelFramePlacementASR):
             w_goal += w
-            frame_id = r.frame_id
+            frame_id = int(r.frame_id)      # static field, never stacked
+            # the ONLY leaves allowed to vary per knot: the frame target
             target_rot = np.asarray(r.placement.rot, dtype=np.float64)
             target_pos = np.asarray(r.placement.trans, dtype=np.float64)
+            if per_knot and np.all(target_rot == target_rot[:1]) \
+                    and np.all(target_pos == target_pos[:1]):
+                target_rot, target_pos = target_rot[0], target_pos[0]
             if not np.allclose(act_weights(c, 6), 1.0):
                 raise TypeError("goal activation must be plain quad")
         elif isinstance(r, ResidualModelState):
-            if not np.allclose(np.asarray(r.xref), 0.0):
+            if not np.allclose(const(r.xref, "state reference"), 0.0):
                 raise TypeError("fast path assumes zero state reference")
             xw += w * act_weights(c, NDX)
         elif isinstance(r, ResidualModelControl):
@@ -136,19 +182,39 @@ def extract_vsa_spec(problem, bounds) -> VSASpec:
         else:
             raise TypeError(f"unsupported residual {type(r)}")
 
+    term_rot = term_pos = None
     for it in terminal_diff.costs.items:
         c = it.cost
         if isinstance(c, CostModelResidual) and isinstance(c.residual, ResidualModelFramePlacementASR):
             w_goal_term += float(np.asarray(it.weight))
+            term_rot = np.asarray(c.residual.placement.rot, dtype=np.float64)
+            term_pos = np.asarray(c.residual.placement.trans, dtype=np.float64)
         else:
             raise TypeError("fast path assumes goal-only terminal cost")
 
+    per_knot_target = target_rot.ndim == 3
+    if per_knot_target and target_rot.shape[0] != T:
+        raise TypeError("per-knot target must have one row per knot")
+    # terminal target separate only when it differs from the running one
+    if term_rot is not None and not per_knot_target and \
+            np.array_equal(term_rot, target_rot) and np.array_equal(term_pos, target_pos):
+        term_rot = term_pos = None
+    if per_knot_target and term_rot is None:
+        # no terminal placement cost (w_goal_term = 0): evaluate the
+        # (weight-0) terminal goal at the last knot's target
+        term_rot, term_pos = target_rot[-1], target_pos[-1]
+
+    lb = None if bounds is None else np.asarray(bounds.lb, dtype=np.float64)
+    ub = None if bounds is None else np.asarray(bounds.ub, dtype=np.float64)
+    if lb is not None and lb.ndim == 2 and lb.shape[0] != T:
+        raise TypeError("per-knot bounds must be [T, nu]")
+
     return VSASpec(
         rc=RobotConsts(robot),
-        dt=float(running.dt),
-        binv=np.linalg.inv(np.asarray(diff.B, dtype=np.float64)),
+        dt=float(running.dt),               # static field, never stacked
+        binv=np.linalg.inv(const(diff.B, "motor inertia").astype(np.float64)),
         frame_id=frame_id,
-        target_rot_inv=target_rot.T,
+        target_rot_inv=(np.swapaxes(target_rot, -1, -2)),
         target_pos=target_pos,
         w_goal=w_goal,
         w_goal_term=w_goal_term,
@@ -156,11 +222,13 @@ def extract_vsa_spec(problem, bounds) -> VSASpec:
         uw=uw,
         stiff_w=stiff_w,
         stiff_ref=stiff_ref,
-        lb=None if bounds is None else np.asarray(bounds.lb, dtype=np.float64),
-        ub=None if bounds is None else np.asarray(bounds.ub, dtype=np.float64),
+        lb=lb,
+        ub=ub,
         variant=variant,
         K=K,
         nu=nu,
+        term_target_rot_inv=None if term_rot is None else term_rot.T,
+        term_target_pos=term_pos,
     )
 
 
@@ -195,12 +263,31 @@ def _dynamics_lanes(spec: VSASpec, x, u):
     return a_l + a_m
 
 
-def _goal_cost_lanes(spec: VSASpec, q_l):
-    """0.5 * || log6(target^-1 oMf) ||^2 on lanes; also returns r (6 lanes)."""
+def _tgt_at(tgt_ref, t):
+    """Read one knot's target row ([..., 12] SMEM: flat R_inv | pos) as
+    (R_inv 3x3 tuple, pos 3-tuple) of scalars — scalars broadcast against
+    lane values in the tuple algebra, so no lane-wide DMA is spent on a
+    batch-invariant quantity."""
+    return (tuple(tuple(tgt_ref[t, 3 * i + j] for j in range(3)) for i in range(3)),
+            tuple(tgt_ref[t, 9 + j] for j in range(3)))
+
+
+def _goal_cost_lanes(spec: VSASpec, q_l, tgt=None, terminal=False):
+    """0.5 * || log6(target^-1 oMf) ||^2 on lanes; also returns r (6 lanes).
+
+    ``tgt``: optional runtime (R_inv, pos) from :func:`_tgt_at` — the
+    per-knot tracking target; None uses the spec's baked constants
+    (``terminal`` selects the terminal target when it differs)."""
     rots, trans = lanes.fk_lanes(spec.rc, q_l)
     R, p = lanes.frame_placement_lanes(spec.rc, rots, trans, spec.frame_id)
-    Ri = lanes.m_const(spec.target_rot_inv, q_l[0])
-    tp = lanes.v_const(spec.target_pos, q_l[0])
+    if tgt is not None:
+        Ri, tp = tgt
+    elif terminal and spec.term_target_rot_inv is not None:
+        Ri = lanes.m_const(spec.term_target_rot_inv, q_l[0])
+        tp = lanes.v_const(spec.term_target_pos, q_l[0])
+    else:
+        Ri = lanes.m_const(spec.target_rot_inv, q_l[0])
+        tp = lanes.v_const(spec.target_pos, q_l[0])
     rM = lanes.m_mul(Ri, R)
     rp = lanes.m_vec(Ri, lanes.v_sub(p, tp))
     r6 = lanes.log6_lanes(rM, rp)
@@ -208,8 +295,8 @@ def _goal_cost_lanes(spec: VSASpec, q_l):
     return c, r6
 
 
-def _running_cost_lanes(spec: VSASpec, x, u):
-    c_goal, _ = _goal_cost_lanes(spec, [x[0], x[1]])
+def _running_cost_lanes(spec: VSASpec, x, u, tgt=None):
+    c_goal, _ = _goal_cost_lanes(spec, [x[0], x[1]], tgt)
     c = spec.w_goal * c_goal
     for i in range(NDX):
         if spec.xw[i] != 0.0:
@@ -237,10 +324,12 @@ def _running_cost_lanes(spec: VSASpec, x, u):
 # (writing it into row 0 of xs_out would need a +1-shifted, unalignable
 # block); the host wrapper concatenates.
 
-def _rollout_trial_step(spec, t, alpha, gscale, x, xr, kt, Kt, ut,
-                        lb_ref, ub_ref, fsb_ref, use_gaps):
+def _rollout_trial_step(spec, t, trow, alpha, gscale, x, xr, kt, Kt, ut,
+                        lb_ref, ub_ref, fsb_ref, use_gaps, tgt=None):
     """One knot of one line-search trial; returns (x_new list, u list,
-    running cost)."""
+    running cost). ``t`` indexes the VMEM time blocks (chunk-local);
+    ``trow`` the whole-table SMEM refs (global knot). Per-knot boxes
+    arrive as [Tp, nu] SMEM tables; shared boxes as [nu, P, nb] lanes."""
     dt = spec.dt
     nu = spec.nu
     dx = [x[i] - xr[i] for i in range(NDX)]
@@ -251,11 +340,14 @@ def _rollout_trial_step(spec, t, alpha, gscale, x, xr, kt, Kt, ut,
             fb = fb + Kt[j, i] * dx[i]
         uj = ut[j] - fb
         if lb_ref is not None:
-            uj = jnp.clip(uj, lb_ref[j], ub_ref[j])
+            if spec.per_knot_box:
+                uj = jnp.clip(uj, lb_ref[trow, j], ub_ref[trow, j])
+            else:
+                uj = jnp.clip(uj, lb_ref[j], ub_ref[j])
         u.append(uj)
 
     a = _dynamics_lanes(spec, x, u)
-    cost_t = _running_cost_lanes(spec, x, u)
+    cost_t = _running_cost_lanes(spec, x, u, tgt)
 
     x_new = []
     for i in range(NDX // 2):
@@ -276,7 +368,8 @@ def _rollout_x0t(x0_ref, fsa_ref, gscale, use_gaps):
 
 def _unpack_rollout_refs(spec, use_gaps, n_alpha, refs):
     """Shared ref unpacking: [xs, us, k, K, x0, alphas..., (fsa, fsb if
-    gaps), wterm, (lb, ub if boxed)] then outputs + scratch."""
+    gaps), wterm, (tgt if per-knot target), (lb, ub if boxed)] then
+    outputs + scratch."""
     it = iter(refs)
     xs_ref, us_ref, k_ref, K_ref, x0_ref = (next(it) for _ in range(5))
     alphas = tuple(next(it) for _ in range(n_alpha))
@@ -285,18 +378,19 @@ def _unpack_rollout_refs(spec, use_gaps, n_alpha, refs):
     else:
         fsa_ref = fsb_ref = infeas_ref = None
     wterm_ref = next(it)
+    tgt_ref = next(it) if spec.per_knot_target else None
     if spec.lb is not None:
         lb_ref, ub_ref = next(it), next(it)
     else:
         lb_ref = ub_ref = None
     return (xs_ref, us_ref, k_ref, K_ref, x0_ref, alphas, fsa_ref, fsb_ref,
-            infeas_ref, wterm_ref, lb_ref, ub_ref, tuple(it))
+            infeas_ref, wterm_ref, tgt_ref, lb_ref, ub_ref, tuple(it))
 
 
 def _rollout_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
                     *refs):
     (xs_ref, us_ref, k_ref, K_ref, x0_ref, (alpha_ref,), fsa_ref, fsb_ref,
-     infeas_ref, wterm_ref, lb_ref, ub_ref, rest) = _unpack_rollout_refs(
+     infeas_ref, wterm_ref, tgt_ref, lb_ref, ub_ref, rest) = _unpack_rollout_refs(
         spec, use_gaps, 1, refs)
     (xs_out, us_out, x0t_out, cost_ref, x_s, cost_s) = rest
     j = pl.program_id(1)
@@ -312,9 +406,11 @@ def _rollout_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
 
     def body(t, cost_acc):
         x = [x_s[i] for i in range(NDX)]
+        trow = j * Tc + t
+        tgt = None if tgt_ref is None else _tgt_at(tgt_ref, trow)
         x_new, u, cost_t = _rollout_trial_step(
-            spec, t, alpha, gscale, x, xs_ref[t], k_ref[t], K_ref[t],
-            us_ref[t], lb_ref, ub_ref, fsb_ref, use_gaps)
+            spec, t, trow, alpha, gscale, x, xs_ref[t], k_ref[t], K_ref[t],
+            us_ref[t], lb_ref, ub_ref, fsb_ref, use_gaps, tgt)
         if NC * Tc > T:
             valid = (j * Tc + t) < T
             x_new = [jnp.where(valid, xn, xo) for xn, xo in zip(x_new, x)]
@@ -331,7 +427,7 @@ def _rollout_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
     @pl.when(j == NC - 1)
     def _():
         xT = [x_s[i] for i in range(NDX)]
-        c_goal_T, _ = _goal_cost_lanes(spec, [xT[0], xT[1]])
+        c_goal_T, _ = _goal_cost_lanes(spec, [xT[0], xT[1]], terminal=True)
         # terminal goal weight is a runtime lane input (homotopy ramps it)
         cost_ref[:] = cost_s[:] + wterm_ref[:] * c_goal_T
 
@@ -348,7 +444,7 @@ def _rollout2_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
     overlap). Trial math is the exact op sequence of _rollout_kernel per
     trajectory, so results are bit-identical to two separate launches."""
     (xs_ref, us_ref, k_ref, K_ref, x0_ref, (alpha_a_ref, alpha_b_ref),
-     fsa_ref, fsb_ref, infeas_ref, wterm_ref, lb_ref, ub_ref,
+     fsa_ref, fsb_ref, infeas_ref, wterm_ref, tgt_ref, lb_ref, ub_ref,
      rest) = _unpack_rollout_refs(spec, use_gaps, 2, refs)
     (xs_a_out, us_a_out, cost_a_ref,
      xs_b_out, us_b_out, cost_b_ref, x0t_out,
@@ -383,12 +479,14 @@ def _rollout2_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
         kt = k_ref[t]
         Kt = K_ref[t]
         ut = us_ref[t]
+        trow = j * Tc + t
+        tgt = None if tgt_ref is None else _tgt_at(tgt_ref, trow)
         new_costs = []
         for (alpha, gscale, xs_out, us_out, x_s), cost_acc in zip(trials, costs):
             x = [x_s[i] for i in range(NDX)]
             x_new, u, cost_t = _rollout_trial_step(
-                spec, t, alpha, gscale, x, xr, kt, Kt, ut,
-                lb_ref, ub_ref, fsb_ref, use_gaps)
+                spec, t, trow, alpha, gscale, x, xr, kt, Kt, ut,
+                lb_ref, ub_ref, fsb_ref, use_gaps, tgt)
             if NC * Tc > T:
                 valid = (j * Tc + t) < T
                 x_new = [jnp.where(valid, xn, xo) for xn, xo in zip(x_new, x)]
@@ -409,7 +507,7 @@ def _rollout2_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
     def _():
         for idx, (_, _, _, _, x_s) in enumerate(trials):
             xT = [x_s[i] for i in range(NDX)]
-            c_goal_T, _ = _goal_cost_lanes(spec, [xT[0], xT[1]])
+            c_goal_T, _ = _goal_cost_lanes(spec, [xT[0], xT[1]], terminal=True)
             cost_out = cost_a_ref if idx == 0 else cost_b_ref
             cost_out[:] = cost_ab_s[idx] + wterm_ref[:] * c_goal_T
 
@@ -469,7 +567,28 @@ def _rollout_call(spec, T, nb, interpret, use_gaps, n_trials,
         in_specs += [tspec(NDX), tspec(NDX), cspec()]
     args += [layout.to_packed(wterm_l, nb)[0]]
     in_specs += [cspec()]
-    if spec.lb is not None:
+
+    def pad_table(tab):        # [T, m] -> [Tp, m] (end padding, like prep_t)
+        tab = jnp.asarray(tab, dtype)
+        return jnp.pad(tab, ((0, padt), (0, 0))) if padt else tab
+
+    def smem_tspec(m):
+        # whole [Tp, m] table resident in SMEM (Mosaic requires
+        # non-tile-aligned blocks to equal the array; Tp*m scalars ~ KBs);
+        # kernels index rows by global knot j*Tc+t
+        return pl.BlockSpec((Tp, m), lambda b, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    if spec.per_knot_target:
+        # per-knot tracking target: batch-invariant [Tc, 12] SMEM rows
+        # (flat R_inv | pos), a build-time constant of the spec
+        args += [pad_table(spec.target_table(T, dtype))]
+        in_specs += [smem_tspec(12)]
+    if spec.per_knot_box:
+        assert lb_l is None, "per-knot box is a build-time constant"
+        args += [pad_table(spec.lb), pad_table(spec.ub)]
+        in_specs += [smem_tspec(nu), smem_tspec(nu)]
+    elif spec.lb is not None:
         # box as a runtime lane input (bound-continuation schedules
         # share one compiled kernel); defaults to the spec's box
         if lb_l is None:
@@ -609,7 +728,7 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
 # ---------------------------------------------------------------------------
 
 def _linearize_kernel(spec: VSASpec, terminal: bool,
-                      x_ref, u_ref, wterm_ref,
+                      x_ref, u_ref, wterm_ref, tgt_ref,
                       Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
                       xnext_ref, cost_ref):
     """One knot (grid dims: t, batch-tile): analytic VSA linearization.
@@ -713,7 +832,9 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
 
     # -- costs ------------------------------------------------------------
     q_l = [x[0], x[1]]
-    c_goal, r6 = _goal_cost_lanes(spec, q_l)
+    # grid dim 0 is the knot; the SMEM table holds all T rows
+    tgt = None if tgt_ref is None else _tgt_at(tgt_ref, pl.program_id(0))
+    c_goal, r6 = _goal_cost_lanes(spec, q_l, tgt, terminal=terminal)
     # the terminal goal weight is a runtime lane input (homotopy ramps it);
     # the running weight stays a baked constant
     w_goal = wterm_ref[:] if terminal else spec.w_goal
@@ -733,7 +854,7 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
 
     # goal residual jacobian wrt q_l via jvp of the residual map (2 seeds)
     def res_fn(qq):
-        _, r = _goal_cost_lanes(spec, list(qq))
+        _, r = _goal_cost_lanes(spec, list(qq), tgt, terminal=terminal)
         return r
 
     one = jnp.ones_like(like)
@@ -867,12 +988,21 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
         # batch-only input (terminal weight): same block for every knot
         wterm_spec = pl.BlockSpec((1, P, nb), lambda t, b: (0, b, 0),
                                   memory_space=pltpu.VMEM)
+        # per-knot tracking target: the whole [T, 12] table stays resident
+        # in SMEM (Mosaic requires non-tile-aligned blocks to equal the
+        # array; T*12 scalars is a few KB) and the kernel reads its grid
+        # row
+        tgt_spec = pl.BlockSpec((T, 12), lambda t, b: (0, 0),
+                                memory_space=pltpu.SMEM)
 
-        def run_kernel(spec_, terminal):
-            def kern(x_ref, u_ref, wterm_ref, Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref, xnext_ref, cost_ref):
+        def run_kernel(spec_, terminal, with_tgt):
+            def kern(x_ref, u_ref, wterm_ref, *rest):
+                tgt_ref, outs = (rest[0], rest[1:]) if with_tgt else (None, rest)
+                (Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
+                 xnext_ref, cost_ref) = outs
                 _linearize_kernel(
                     spec_, terminal,
-                    x_ref.at[0], u_ref.at[0], wterm_ref.at[0],
+                    x_ref.at[0], u_ref.at[0], wterm_ref.at[0], tgt_ref,
                     Fx_ref.at[0], Fu_ref.at[0], Lx_ref.at[0], Lu_ref.at[0],
                     Lxx_ref.at[0], Lxu_ref.at[0], Luu_ref.at[0],
                     xnext_ref.at[0], cost_ref.at[0])
@@ -899,20 +1029,26 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
         us_p = layout.to_packed(us_l, nb)
         wterm_p = layout.to_packed(wterm_l, nb)
 
+        run_args = [xs_p[:T], us_p, wterm_p]
+        run_in_specs = [io_spec(NDX), io_spec(NU), wterm_spec]
+        if spec.per_knot_target:
+            run_args.append(jnp.asarray(spec.target_table(T, dtype)))
+            run_in_specs.append(tgt_spec)
+
         outs = pl.pallas_call(
-            run_kernel(spec, False),
+            run_kernel(spec, False, spec.per_knot_target),
             grid=(T, G),
-            in_specs=[io_spec(NDX), io_spec(NU), wterm_spec],
+            in_specs=run_in_specs,
             out_specs=out_specs,
             out_shape=shapes(T),
             interpret=interpret,
-        )(xs_p[:T], us_p, wterm_p)
+        )(*run_args)
         Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, xnext, costs = (
             layout.from_packed(o) for o in outs)
 
-        # terminal knot: single-knot grid
+        # terminal knot: single-knot grid (baked terminal target)
         term_outs = pl.pallas_call(
-            run_kernel(spec, True),
+            run_kernel(spec, True, False),
             grid=(1, G),
             in_specs=[io_spec(NDX), io_spec(NU), wterm_spec],
             out_specs=out_specs,

@@ -74,6 +74,14 @@ class SolverSettings:
     n_alphas: int = 10
     boxqp_iters: int = 6
     boxqp_alphas: int = 5
+    # BoxQP active-set warm start: > 0 starts each knot's projected Newton
+    # from the PREVIOUS solver iteration's du at that knot (clipped into
+    # the current box) and runs this many QP iterations instead of
+    # boxqp_iters. The active set barely changes between consecutive
+    # solver iterations, so 2-3 warm iterations reproduce the 6-iteration
+    # cold solution (tests/test_boxqp_warm.py); the backward pass is ~2x
+    # the FDDP backward at 6 iters (docs/BENCH.md rooflines). 0 = off.
+    boxqp_warm_iters: int = 0
     # Max in-iteration backward retries (reg x10 bumps). Crocoddyl loops to
     # reg_max inside one iteration; under vmap a single f32-doomed scenario
     # would then drag the whole batch through the full escalation, so cap
@@ -139,6 +147,7 @@ class _LoopState(NamedTuple):
     converged: jnp.ndarray
     diverged: jnp.ndarray
     log: SolveLog
+    kprev: jnp.ndarray    # [T, nu] previous backward's gains (BoxQP warm start)
 
 
 def _linearize_core(problem: ShootingProblem, xs, us):
@@ -170,14 +179,21 @@ def _linearize(problem: ShootingProblem, xs, us):
 
 
 @functools.lru_cache(maxsize=None)
-def _get_box_backward_core(qp_iters: int, interpret: bool):
-    """custom_vmap wrapper: unbatched -> XLA scan; vmapped -> Pallas kernel."""
+def _get_box_backward_core(qp_iters: int, interpret: bool, warm: bool = False):
+    """custom_vmap wrapper: unbatched -> XLA scan; vmapped -> Pallas kernel.
+    ``warm`` adds a ``kprev`` [T, nu] input (BoxQP active-set warm start)."""
     from ..pallas.riccati import riccati_box_backward
 
-    @jax.custom_batching.custom_vmap
-    def core(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, us, lb, ub, reg):
-        return _box_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx,
-                                  us, lb, ub, reg, qp_iters)
+    if warm:
+        @jax.custom_batching.custom_vmap
+        def core(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, us, kprev, lb, ub, reg):
+            return _box_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx,
+                                      us, lb, ub, reg, qp_iters, kprev=kprev)
+    else:
+        @jax.custom_batching.custom_vmap
+        def core(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, us, lb, ub, reg):
+            return _box_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx,
+                                      us, lb, ub, reg, qp_iters)
 
     @core.def_vmap
     def _rule(axis_size, in_batched, *args):
@@ -185,22 +201,33 @@ def _get_box_backward_core(qp_iters: int, interpret: bool):
             return x if b else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
 
         args = tuple(bc(a, b) for a, b in zip(args, in_batched))
-        out = riccati_box_backward(*args, qp_iters=qp_iters, interpret=interpret)
+        if warm:
+            *head, kprev, lb, ub, reg = args
+            out = riccati_box_backward(*head, lb, ub, reg, qp_iters=qp_iters,
+                                       interpret=interpret, kprev=kprev)
+        else:
+            out = riccati_box_backward(*args, qp_iters=qp_iters, interpret=interpret)
         return tuple(out), tuple(True for _ in out)
 
     return core
 
 
 @functools.lru_cache(maxsize=None)
-def _get_boxfddp_backward_core(qp_iters: int, interpret: bool):
+def _get_boxfddp_backward_core(qp_iters: int, interpret: bool, warm: bool = False):
     """custom_vmap wrapper for the BoxFDDP (gaps + bounds) backward:
     unbatched -> XLA scan; vmapped -> fused Pallas kernel."""
     from ..pallas.riccati import riccati_boxfddp_backward
 
-    @jax.custom_batching.custom_vmap
-    def core(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, us, lb, ub, reg):
-        return _boxfddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx,
-                                      fs, us, lb, ub, reg, qp_iters)
+    if warm:
+        @jax.custom_batching.custom_vmap
+        def core(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, us, kprev, lb, ub, reg):
+            return _boxfddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx,
+                                          fs, us, lb, ub, reg, qp_iters, kprev=kprev)
+    else:
+        @jax.custom_batching.custom_vmap
+        def core(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, us, lb, ub, reg):
+            return _boxfddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx,
+                                          fs, us, lb, ub, reg, qp_iters)
 
     @core.def_vmap
     def _rule(axis_size, in_batched, *args):
@@ -208,7 +235,12 @@ def _get_boxfddp_backward_core(qp_iters: int, interpret: bool):
             return x if b else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
 
         args = tuple(bc(a, b) for a, b in zip(args, in_batched))
-        out = riccati_boxfddp_backward(*args, qp_iters=qp_iters, interpret=interpret)
+        if warm:
+            *head, kprev, lb, ub, reg = args
+            out = riccati_boxfddp_backward(*head, lb, ub, reg, qp_iters=qp_iters,
+                                           interpret=interpret, kprev=kprev)
+        else:
+            out = riccati_boxfddp_backward(*args, qp_iters=qp_iters, interpret=interpret)
         return tuple(out), tuple(True for _ in out)
 
     return core
@@ -284,10 +316,11 @@ def _fddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, reg):
 
 
 def _boxfddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs,
-                           us, lb, ub, reg, qp_iters):
+                           us, lb, ub, reg, qp_iters, kprev=None):
     """Single-scenario BoxFDDP backward (gaps + bounds) — the fused
     kernel's XLA reference and unbatched fallback: the FDDP deflected
-    recursion with the per-knot masked BoxQP gain partition. Returns
+    recursion with the per-knot masked BoxQP gain partition. ``kprev``
+    warm-starts the QPs (see :func:`_box_backward_scan`). Returns
     (k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable)."""
     ndx = Fx.shape[-1]
     dtype = Fx.dtype
@@ -300,14 +333,15 @@ def _boxfddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs,
 
     def body(carry, inp):
         Vx_n, Vxx_n = carry
-        fx, fu, lx, lu, lxx, lxu, luu, fs_t, u_t = inp
+        fx, fu, lx, lu, lxx, lxu, luu, fs_t, u_t, kp = inp
         Qx = lx + fx.T @ Vx_n
         Qu = lu + fu.T @ Vx_n
         FxTVxx = fx.T @ Vxx_n
         Qxx = lxx + FxTVxx @ fx
         Qxu = lxu + FxTVxx @ fu
         Quu = luu + fu.T @ Vxx_n @ fu + reg * eye_u
-        qp = boxqp(Quu, Qu, lb - u_t, ub - u_t, jnp.zeros_like(u_t),
+        x0 = jnp.zeros_like(u_t) if kp is None else -kp
+        qp = boxqp(Quu, Qu, lb - u_t, ub - u_t, x0,
                    maxiter=qp_iters, n_alphas=5)
         k = -qp.x
         K = masked_free_solve(Quu, qp.free, Qxu.T)
@@ -323,7 +357,8 @@ def _boxfddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs,
                            -jnp.dot(Vx, fs_t), jnp.dot(fs_t, Vxx @ fs_t), ok, indef)
 
     (_, _), outs = jax.lax.scan(
-        body, (Vx_T, Vxx_T), (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs[:-1], us), reverse=True)
+        body, (Vx_T, Vxx_T),
+        (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs[:-1], us, kprev), reverse=True)
     k, K, Vxx_t, dg_t, dq_t, stop_t, dgg_t, dqg_t, ok_t, indef_t = outs
     Vxx_all = jnp.concatenate([Vxx_t, Vxx_T[None]], axis=0)
     dg_gap = jnp.sum(dgg_t) - jnp.dot(Vx_T, fs[-1])
@@ -332,9 +367,12 @@ def _boxfddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs,
             dg_gap, dq_gap, jnp.all(ok_t), jnp.any(indef_t))
 
 
-def _box_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, us, lb, ub, reg, qp_iters):
+def _box_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, us, lb, ub, reg, qp_iters,
+                       kprev=None):
     """Single-scenario Box backward (no gaps) — the Pallas kernel's XLA
-    reference implementation and unbatched fallback."""
+    reference implementation and unbatched fallback. ``kprev`` [T, nu]
+    warm-starts each knot's QP from the previous solver iteration's du
+    (``du = -k``, clipped into the box by ``boxqp``)."""
     ndx = Fx.shape[-1]
     nu = Fu.shape[-1]
     dtype = Fx.dtype
@@ -343,14 +381,15 @@ def _box_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, us, lb, ub, reg
 
     def body(carry, inp):
         Vx_n, Vxx_n = carry
-        fx, fu, lx, lu, lxx, lxu, luu, u_t = inp
+        fx, fu, lx, lu, lxx, lxu, luu, u_t, kp = inp
         Qx = lx + fx.T @ Vx_n
         Qu = lu + fu.T @ Vx_n
         FxTVxx = fx.T @ Vxx_n
         Qxx = lxx + FxTVxx @ fx
         Qxu = lxu + FxTVxx @ fu
         Quu = luu + fu.T @ Vxx_n @ fu + reg * eye_u
-        qp = boxqp(Quu, Qu, lb - u_t, ub - u_t, jnp.zeros_like(u_t), maxiter=qp_iters, n_alphas=5)
+        x0 = jnp.zeros_like(u_t) if kp is None else -kp
+        qp = boxqp(Quu, Qu, lb - u_t, ub - u_t, x0, maxiter=qp_iters, n_alphas=5)
         k = -qp.x
         K = masked_free_solve(Quu, qp.free, Qxu.T)
         Quuk = Quu @ k
@@ -363,32 +402,39 @@ def _box_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, us, lb, ub, reg
         return (Vx, Vxx), (k, K, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu), ok, indef)
 
     (_, _), outs = jax.lax.scan(
-        body, (tLx, tLxx + reg * eye_x), (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, us), reverse=True)
+        body, (tLx, tLxx + reg * eye_x),
+        (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, us, kprev), reverse=True)
     k, K, dg_t, dq_t, stop_t, ok_t, indef_t = outs
     return (k, K, jnp.sum(dg_t), jnp.sum(dq_t), jnp.sum(stop_t), jnp.all(ok_t),
             jnp.any(indef_t))
 
 
-def _backward(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, settings):
-    """Riccati sweep, Crocoddyl-faithful (see module docstring)."""
+def _backward(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, settings,
+              kprev=None):
+    """Riccati sweep, Crocoddyl-faithful (see module docstring). ``kprev``
+    [T, nu] warm-starts the BoxQPs (boxqp_warm_iters semantics)."""
     # cast up to ``us``'s varying axes: some branches fill unused slots
     # (dg_gap, Vx) with fresh zeros, which under shard_map would clash
     # with the varying retry-loop carry (utils/vma.py)
     return pvary_like(
         _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps,
-                       bounds, settings), us)
+                       bounds, settings, kprev), us)
 
 
-def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, settings):
+def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds,
+                   settings, kprev=None):
     # the fused backward kernels take a single [nu] box; per-knot [T, nu]
     # bounds run through the generic scan below
+    warm = kprev is not None
+    qp_iters = settings.boxqp_warm_iters if warm else settings.boxqp_iters
     shared_box = bounds is not None and jnp.ndim(bounds.lb) == 1
     if shared_box and (not use_gaps) and settings.use_pallas_backward:
-        core = _get_box_backward_core(settings.boxqp_iters, jax.default_backend() != "tpu")
+        core = _get_box_backward_core(qp_iters, jax.default_backend() != "tpu", warm)
+        kp = (us, kprev) if warm else (us,)
         k, K, dg, dq, stop, ok, retryable = core(
             run_diff.Fx, run_diff.Fu, run_diff.Lx, run_diff.Lu,
             run_diff.Lxx, run_diff.Lxu, run_diff.Luu,
-            term_diff.Lx, term_diff.Lxx, us, bounds.lb, bounds.ub,
+            term_diff.Lx, term_diff.Lxx, *kp, bounds.lb, bounds.ub,
             jnp.asarray(reg, dtype=us.dtype))
         T = us.shape[0]
         ndx = problem.state.ndx
@@ -399,11 +445,12 @@ def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, 
                          dg=dg, dq=dq, dg_gap=zero, dq_gap=zero, stop=stop, ok=ok,
                          retryable=retryable)
     if shared_box and use_gaps and settings.use_pallas_backward:
-        core = _get_boxfddp_backward_core(settings.boxqp_iters, jax.default_backend() != "tpu")
+        core = _get_boxfddp_backward_core(qp_iters, jax.default_backend() != "tpu", warm)
+        kp = (us, kprev) if warm else (us,)
         k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable = core(
             run_diff.Fx, run_diff.Fu, run_diff.Lx, run_diff.Lu,
             run_diff.Lxx, run_diff.Lxu, run_diff.Luu,
-            term_diff.Lx, term_diff.Lxx, fs, us, bounds.lb, bounds.ub,
+            term_diff.Lx, term_diff.Lxx, fs, *kp, bounds.lb, bounds.ub,
             jnp.asarray(reg, dtype=us.dtype))
         T = us.shape[0]
         ndx = problem.state.ndx
@@ -441,7 +488,7 @@ def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, 
 
     def body(carry, inp):
         Vx_n, Vxx_n = carry
-        d, fs_t, u_t, bnd = inp
+        d, fs_t, u_t, bnd, kp = inp
 
         FuT = d.Fu.T
         FxT = d.Fx.T
@@ -461,8 +508,9 @@ def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, 
             lb_t, ub_t = bnd if lb_knot else (bounds.lb, bounds.ub)
             low = lb_t - u_t
             up = ub_t - u_t
-            qp = boxqp(Quu, Qu, low, up, jnp.zeros_like(u_t),
-                       maxiter=settings.boxqp_iters, n_alphas=settings.boxqp_alphas)
+            x0 = jnp.zeros_like(u_t) if kp is None else -kp
+            qp = boxqp(Quu, Qu, low, up, x0,
+                       maxiter=qp_iters, n_alphas=settings.boxqp_alphas)
             k = -qp.x
             K = masked_free_solve(Quu, qp.free, Qxu.T)
             ok = jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
@@ -482,7 +530,7 @@ def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds, 
 
     bnd_xs = (bounds.lb, bounds.ub) if lb_knot else None
     (_, _), outs = jax.lax.scan(
-        body, (Vx_T, Vxx_T), (run_diff, fs[:-1], us, bnd_xs), reverse=True)
+        body, (Vx_T, Vxx_T), (run_diff, fs[:-1], us, bnd_xs, kprev), reverse=True)
     k, K, Vx_t, Vxx_t, dg_t, dq_t, stop_t, ok_t, indef_t = outs
 
     Vx = jnp.concatenate([Vx_t, Vx_T[None]], axis=0)
@@ -601,7 +649,9 @@ def _solve_impl(problem, xs_init, us_init, settings, use_gaps, bounds, fast) -> 
         converged=jnp.asarray(False),
         diverged=jnp.asarray(False),
         log=log0,
+        kprev=jnp.zeros((T, nu), dtype=dtype),
     ), x0)
+    warm = s.boxqp_warm_iters > 0 and bounds is not None
 
     def cond(st: _LoopState):
         return ~st.done
@@ -629,7 +679,9 @@ def _solve_impl(problem, xs_init, us_init, settings, use_gaps, bounds, fast) -> 
             lin_ok = lin_ok & jnp.all(jnp.isfinite(leaf))
 
         # -- backward pass with regularization-retry ----------------------
-        bw0 = _backward(problem, run_diff, term_diff, fs, st.us, st.reg, use_gaps, bounds, s)
+        kp = st.kprev if warm else None
+        bw0 = _backward(problem, run_diff, term_diff, fs, st.us, st.reg,
+                        use_gaps, bounds, s, kp)
 
         def bw_cond(c):
             # Gates keep one bad scenario from dragging the whole vmapped
@@ -646,7 +698,8 @@ def _solve_impl(problem, xs_init, us_init, settings, use_gaps, bounds, fast) -> 
             reg, _, tries = c
             reg2 = jnp.minimum(reg * s.reg_factor, s.reg_max)
             return (reg2,
-                    _backward(problem, run_diff, term_diff, fs, st.us, reg2, use_gaps, bounds, s),
+                    _backward(problem, run_diff, term_diff, fs, st.us, reg2,
+                              use_gaps, bounds, s, kp),
                     tries + 1)
 
         reg, bw, _ = jax.lax.while_loop(
@@ -761,6 +814,7 @@ def _solve_impl(problem, xs_init, us_init, settings, use_gaps, bounds, fast) -> 
         return _LoopState(
             xs=xs_new, us=us_new, cost=cost_new, stop=bw.stop, reg=reg_new,
             it=it1, done=done, converged=converged, diverged=diverged, log=log,
+            kprev=jnp.where(bw.ok, bw.k, st.kprev),
         )
 
     final = jax.lax.while_loop(cond, body, init)

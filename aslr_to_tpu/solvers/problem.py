@@ -12,8 +12,10 @@ time-varying tracking targets for MPC): build T distinct models, stack
 them with :func:`stack_knots`, and set ``per_knot=True`` — every leaf of
 ``running`` then carries a leading [T] axis and the solver vmaps/scans the
 model alongside the trajectory. Per-knot control bounds are [T, nu]
-``Bounds`` arrays (generic solver path; the fused kernels require
-identical knots and report that via ``supports_fast_path``).
+``Bounds`` arrays. The fused lane kernels cover per-knot variation in the
+frame target and the control box (SMEM tables, tests/test_lane_per_knot.py);
+any other varying leaf runs the generic path (``supports_fast_path`` names
+the reason).
 
 Unlike the reference there is no ``nthreads`` (the single-thread constraint
 of ``examples/double_pendulum.py:54`` does not exist here): parallelism

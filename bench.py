@@ -46,6 +46,9 @@ WORKLOAD = os.environ.get("BENCH_WORKLOAD", "vsa")
 TH_STOP = float(os.environ.get("BENCH_TH_STOP", "1e-5"))
 # secondary (quality) metrics: skip by setting BENCH_QUALITY=0
 QUALITY = os.environ.get("BENCH_QUALITY", "1") == "1"
+# BoxQP active-set warm start: QP iterations after the first solver
+# iteration (0 = cold 6-iteration QPs; see SolverSettings.boxqp_warm_iters)
+QP_WARM = _env_int("BENCH_QP_WARM", "2")
 BASELINE_SOLVES_PER_S = 1000.0
 
 BUDGET_S = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
@@ -114,7 +117,9 @@ def main():
     # lane-layout end-to-end solver (zero per-iteration relayouts); falls
     # back to the standard fused path if the problem shape is unsupported
     use_lanes = use_pallas and os.environ.get("BENCH_LANES", "1") == "1"
-    settings = SolverSettings(maxiter=MAXITER, th_stop=TH_STOP, use_pallas_backward=use_pallas)
+    settings = SolverSettings(maxiter=MAXITER, th_stop=TH_STOP,
+                              use_pallas_backward=use_pallas,
+                              boxqp_warm_iters=QP_WARM)
     _log(f"setup done (workload={WORKLOAD}, lanes={use_lanes}, th_stop={TH_STOP:g})")
     fn, path = None, "generic"
     if use_lanes:

@@ -7,9 +7,19 @@ bounds): T distinct action models — here with the frame-placement target
 swept along an arc — are stacked into one pytree (``stack_knots``) and the
 solver vmaps/scans the model alongside the trajectory.
 
+Per-knot problems run on the LANE path too (the target rides an SMEM
+table through the fused kernels): set MPC_BATCH to time a batched
+lane-path solve of this tracking problem at the production rate.
+
 Run: python examples/mpc_tracking.py   (CPU f64 by default; TPU if present)
+     MPC_BATCH=2048 python examples/mpc_tracking.py   (lane-path bench)
 """
 import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +30,29 @@ from aslr_to_tpu.ops.se3 import SE3
 from aslr_to_tpu.solvers.ddp import SolverSettings, solve
 from aslr_to_tpu.solvers.problem import stack_knots
 from aslr_to_tpu.workloads.presets import two_dof_sea
+
+
+def bench_lane_batch(prob, B):
+    """Batched lane-path solves of the per-knot tracking problem."""
+    from aslr_to_tpu.parallel.batch import convergence_summary, make_batched_solver
+    from aslr_to_tpu.utils.compilation_cache import enable
+
+    enable()
+    dtype = prob.x0.dtype
+    fn = make_batched_solver(prob, SolverSettings(maxiter=30, th_stop=1e-5),
+                             use_gaps=True, bounds=None, use_fast_path="lanes")
+    x0s = prob.x0 + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(0), (B, prob.x0.shape[0]), dtype=dtype)
+    out = fn(x0s)
+    np.asarray(out.cost)            # compile + warm (fetch to host)
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = fn(x0s + jnp.asarray(1e-4 * (i + 1), dtype))
+        np.asarray(out.cost)
+    rate = B * reps / (time.perf_counter() - t0)
+    print(f"lane-path per-knot tracking: {rate:.0f} solves/s at B={B}, "
+          f"convergence {convergence_summary(out)}")
 
 
 def main():
@@ -49,6 +82,11 @@ def main():
 
     running = stack_knots([with_target(t) for t in range(T)])
     prob = dataclasses.replace(w.problem, running=running, per_knot=True)
+
+    B = int(os.environ.get("MPC_BATCH", "0"))
+    if B:
+        bench_lane_batch(prob, B)
+        return
 
     res = jax.jit(lambda: solve(
         prob, settings=SolverSettings(maxiter=60, th_stop=1e-7),
