@@ -41,6 +41,38 @@ def scale_terminal_costs(problem: ShootingProblem, scale) -> ShootingProblem:
                 costs=dataclasses.replace(costs, items=items))))
 
 
+def stiffness_continuation(problem: ShootingProblem, bounds: Optional[Bounds],
+                           k_cap: float = 3.0):
+    """``(scales, ub_stages)`` for the VSA stiffness-bound continuation.
+
+    For bounded VSA problems the staged homotopy is only as good as its
+    box schedule: the cold-start fragility comes from the wide stiffness
+    box on explicit-Euler-unstable dynamics (docs/PARITY.md), so the first
+    ``len(DEFAULT_SCALES)`` stages cap the stiffness channels at ``k_cap``
+    (inside the stability region, see :func:`homotopy_solve`) and a final
+    extra stage releases the reference's full box
+    (``two_dof_vsa_boxddp.py:59-60``). Returns ``(DEFAULT_SCALES, None)``
+    unchanged when the problem is not a bounded VSA one. Every entry point
+    that runs the homotopy (workloads/run.py, bench.py,
+    scripts/boxfddp_study.py) must build its stages here — measured at
+    B=2048 T=100 budget 20/stage (scripts/diag_homotopy_warm.py): median
+    cost 848 -> 624 (the f64 staged answer is 628) and divergence
+    14.5% -> 7.2% versus the bare 4-stage schedule.
+    """
+    from ..models.dynamics import DifferentialVSADynamics
+
+    if bounds is None or not isinstance(problem.running.differential,
+                                        DifferentialVSADynamics):
+        return tuple(DEFAULT_SCALES), None
+    nk = problem.nu // 2
+    cap = jnp.minimum(bounds.ub, jnp.concatenate([
+        jnp.full((nk,), jnp.inf, bounds.ub.dtype),
+        jnp.full((nk,), k_cap, bounds.ub.dtype)]))
+    scales = tuple(DEFAULT_SCALES) + (1.0,)
+    ub_stages = jnp.stack([cap] * (len(scales) - 1) + [bounds.ub])
+    return scales, ub_stages
+
+
 def homotopy_solve(
     problem: ShootingProblem,
     xs_init=None,

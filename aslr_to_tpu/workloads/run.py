@@ -44,8 +44,7 @@ def solve_workload(w: Workload, settings: SolverSettings = None,
     which the lane solver does not keep, so it routes the solve through
     the generic path.
     """
-    from ..models.dynamics import DifferentialVSADynamics
-    from ..solvers.homotopy import DEFAULT_SCALES, homotopy_solve
+    from ..solvers.homotopy import DEFAULT_SCALES, homotopy_solve, stiffness_continuation
 
     p = w.problem
     use_gaps = w.solver in ("fddp", "boxfddp")
@@ -55,16 +54,9 @@ def solve_workload(w: Workload, settings: SolverSettings = None,
     # the homotopy adds a 5th full-box stage after four stages capped in the
     # explicit-Euler stability region — measured T=200 cold: cost 14683 ->
     # 6201 within the same 400-iteration budget; T=100 unchanged
-    scales = DEFAULT_SCALES
-    ub_stages = None
-    if (globalization == "homotopy" and bounds is not None
-            and isinstance(p.running.differential, DifferentialVSADynamics)):
-        nk = p.nu // 2
-        cap = jnp.minimum(bounds.ub, jnp.concatenate([
-            jnp.full((nk,), jnp.inf, bounds.ub.dtype),
-            jnp.full((nk,), 3.0, bounds.ub.dtype)]))
-        scales = tuple(DEFAULT_SCALES) + (1.0,)
-        ub_stages = jnp.stack([cap] * (len(scales) - 1) + [bounds.ub])
+    scales, ub_stages = DEFAULT_SCALES, None
+    if globalization == "homotopy":
+        scales, ub_stages = stiffness_continuation(p, bounds)
 
     if settings is None:
         maxiter = w.maxiter

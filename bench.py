@@ -181,9 +181,16 @@ def main():
     # -- quality metric: VSA staged homotopy (f32 median == f64 staged) ----
     if QUALITY and WORKLOAD == "vsa" and use_lanes and _left() > 400:
         try:
+            # production homotopy config = the stiffness-bound continuation
+            # (solvers/homotopy.stiffness_continuation): without it the
+            # staged solve fights the full stiffness box from stage one and
+            # the median cost degrades 628 -> ~850 (docs/BENCH.md)
+            from aslr_to_tpu.solvers.homotopy import stiffness_continuation
+            hscales, hub = stiffness_continuation(w.problem, bounds)
             hfn = make_batched_solver(w.problem, settings, use_gaps=use_gaps,
                                       bounds=bounds, use_fast_path="lanes",
-                                      globalization="homotopy")
+                                      globalization="homotopy",
+                                      scales=hscales, ub_stages=hub)
             rate, res = _time_solves(hfn, x0s, REPS, dtype)
             s3 = convergence_summary(res)
             record["quality_solves_per_s"] = round(rate, 2)

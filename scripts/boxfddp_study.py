@@ -53,17 +53,22 @@ def main():
     path = "generic-f64" if f64 else "lanes-f32"
     fast = False if f64 else "lanes"
 
-    n_stages = 4
+    from aslr_to_tpu.solvers.homotopy import stiffness_continuation
+
+    # production homotopy stages: terminal-weight ramp + stiffness-bound
+    # continuation (5 stages for this workload); per-stage budget keeps the
+    # TOTAL iteration budget equal to the cold configs
+    hscales, hub = stiffness_continuation(w.problem, w.bounds)
     configs = [
         ("boxddp cold", dict(use_gaps=False), SolverSettings(
             maxiter=maxiter, th_stop=th, use_pallas_backward=not f64), None),
         ("boxfddp cold", dict(use_gaps=True), SolverSettings(
             maxiter=maxiter, th_stop=th, use_pallas_backward=not f64), None),
         ("boxddp homotopy", dict(use_gaps=False), SolverSettings(
-            maxiter=maxiter // n_stages, th_stop=th,
+            maxiter=max(1, maxiter // len(hscales)), th_stop=th,
             use_pallas_backward=not f64), "homotopy"),
         ("boxfddp homotopy", dict(use_gaps=True), SolverSettings(
-            maxiter=maxiter // n_stages, th_stop=th,
+            maxiter=max(1, maxiter // len(hscales)), th_stop=th,
             use_pallas_backward=not f64), "homotopy"),
     ]
 
@@ -72,7 +77,9 @@ def main():
         t0 = time.perf_counter()
         try:
             fn = make_batched_solver(w.problem, st, bounds=w.bounds,
-                                     use_fast_path=fast, globalization=glob, **kw)
+                                     use_fast_path=fast, globalization=glob,
+                                     scales=hscales if glob else None,
+                                     ub_stages=hub if glob else None, **kw)
             out = fn(x0s)
             jax.block_until_ready(out.cost)
             summ = convergence_summary(out)
