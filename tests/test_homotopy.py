@@ -94,3 +94,33 @@ def test_homotopy_solve_fast_path_matches_generic():
     assert np.allclose(ref.cost, fst.cost, rtol=1e-8)
     assert np.allclose(ref.us, fst.us, atol=1e-7)
     assert np.all(np.asarray(ref.iterations) == np.asarray(fst.iterations))
+
+
+def test_stiffness_continuation_schedule():
+    """The production box schedule (solvers/homotopy.stiffness_continuation,
+    used by bench.py / workloads/run.py / scripts/boxfddp_study.py): for a
+    bounded VSA problem it must add a 5th full-box stage after capped
+    stages, cap ONLY the stiffness channels, and end at the true box —
+    without it the staged quality degrades (median 848 vs 624 at the bench
+    budget, docs/BENCH.md round 3)."""
+    from aslr_to_tpu.solvers.homotopy import (DEFAULT_SCALES,
+                                              stiffness_continuation)
+    from aslr_to_tpu.workloads.presets import two_dof_sea
+
+    w = two_dof_vsa_boxddp(T=8)
+    scales, ub = stiffness_continuation(w.problem, w.bounds)
+    assert len(scales) == len(DEFAULT_SCALES) + 1 and scales[-1] == 1.0
+    assert ub.shape == (len(scales), w.problem.nu)
+    nk = w.problem.nu // 2
+    # torque channels untouched in every stage; stiffness capped at 3
+    # until the final stage releases the reference's full box
+    np.testing.assert_array_equal(np.asarray(ub[:, :nk]),
+                                  np.broadcast_to(np.asarray(w.bounds.ub)[:nk],
+                                                  (len(scales), nk)))
+    assert np.all(np.asarray(ub[:-1, nk:]) <= 3.0)
+    np.testing.assert_array_equal(np.asarray(ub[-1]), np.asarray(w.bounds.ub))
+
+    # non-VSA (SEA, unbounded): schedule passes through unchanged
+    ws = two_dof_sea(T=8)
+    scales2, ub2 = stiffness_continuation(ws.problem, None)
+    assert scales2 == tuple(DEFAULT_SCALES) and ub2 is None
