@@ -730,12 +730,19 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
 def _linearize_kernel(spec: VSASpec, terminal: bool,
                       x_ref, u_ref, wterm_ref, tgt_ref,
                       Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
-                      xnext_ref, cost_ref):
+                      xnext_ref, cost_ref, ok_ref):
     """One knot (grid dims: t, batch-tile): analytic VSA linearization.
 
     Derivative strategy: the acceleration jacobians come from ``jax.jvp``
     seeds through the lane dynamics (exact forward-mode, traced in-kernel);
     cost derivatives are assembled Gauss-Newton style like the XLA models.
+
+    ``ok_ref`` gets the per-lane finiteness AND over the 7 derivative
+    tensors (1.0/0.0) — computed here while the values are still in
+    registers, so the solver loop's linearization health check does not
+    re-read ~360 MB/iteration of derivative tensors from HBM (the
+    constant tensors fold to compile-time True; semantics are exactly the
+    lane solver's old leaf-by-leaf ``isfinite`` reduction).
     """
     dtype = x_ref.dtype
     x = [x_ref[i] for i in range(NDX)]
@@ -873,7 +880,8 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
         if (not terminal) and spec.xw[i] != 0.0:
             v = v + float(spec.xw[i]) * x[i]
         Lx_rows.append(v)
-    Lx_ref[:] = jnp.stack(Lx_rows)
+    Lx_v = jnp.stack(Lx_rows)
+    Lx_ref[:] = Lx_v
 
     Lu_rows = []
     for j in range(spec.nu):
@@ -884,7 +892,8 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
             if spec.stiff_w != 0.0 and j >= NL:
                 v = v + float(spec.stiff_w)
         Lu_rows.append(v)
-    Lu_ref[:] = jnp.stack(Lu_rows)
+    Lu_v = jnp.stack(Lu_rows)
+    Lu_ref[:] = Lu_v
 
     # Lxx: Gauss-Newton goal block on (q_l x q_l) + diagonal state reg
     Lxx_rows = []
@@ -899,9 +908,11 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
                 v = v + float(spec.xw[i])
             row.append(v)
         Lxx_rows.append(jnp.stack(row))
-    Lxx_ref[:] = jnp.stack(Lxx_rows)
+    Lxx_v = jnp.stack(Lxx_rows)
+    Lxx_ref[:] = Lxx_v
 
-    Lxu_ref[:] = jnp.zeros((NDX, spec.nu) + like.shape, dtype=dtype)
+    Lxu_v = jnp.zeros((NDX, spec.nu) + like.shape, dtype=dtype)
+    Lxu_ref[:] = Lxu_v
     Luu_rows = []
     for i in range(spec.nu):
         row = []
@@ -911,10 +922,20 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
                 v = v + float(spec.uw[i])
             row.append(v)
         Luu_rows.append(jnp.stack(row))
-    Luu_ref[:] = jnp.stack(Luu_rows)
+    Luu_v = jnp.stack(Luu_rows)
+    Luu_ref[:] = Luu_v
+
+    # per-lane finiteness of the derivative tensors, in registers (the
+    # all-constant tensors fold to compile-time True)
+    def _fin(v):
+        return jnp.all(jnp.isfinite(v), axis=tuple(range(v.ndim - like.ndim)))
+
+    ok = _fin(Lx_v) & _fin(Lu_v) & _fin(Lxx_v) & _fin(Lxu_v) & _fin(Luu_v)
 
     # -- integrator chain rule (IntegratedActionEuler.calc_with_diff) -----
     if terminal:
+        # terminal Fx/Fu are finite constants (identity / zeros)
+        ok_ref[:] = ok.astype(dtype)
         Fx_ref[:] = layout.eye_lanes(NDX, like).astype(dtype)
         Fu_ref[:] = jnp.zeros((NDX, spec.nu) + like.shape, dtype=dtype)
         xnext_ref[:] = jnp.stack(x)
@@ -940,7 +961,8 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
                     v = v + 1.0
             row.append(jnp.broadcast_to(v, like.shape))
         Fx_rows.append(jnp.stack(row))
-    Fx_ref[:] = jnp.stack(Fx_rows)
+    Fx_v = jnp.stack(Fx_rows)
+    Fx_ref[:] = Fx_v
 
     Fu_rows = []
     for i in range(NDX):
@@ -953,7 +975,9 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
                 v = col[i - nv] * dt
             row.append(jnp.broadcast_to(v, like.shape))
         Fu_rows.append(jnp.stack(row))
-    Fu_ref[:] = jnp.stack(Fu_rows)
+    Fu_v = jnp.stack(Fu_rows)
+    Fu_ref[:] = Fu_v
+    ok_ref[:] = (ok & _fin(Fx_v) & _fin(Fu_v)).astype(dtype)
 
     xnext = []
     for i in range(nv):
