@@ -51,7 +51,13 @@ from .riccati import (
     riccati_boxfddp_backward_lanes,
     riccati_fddp_backward_lanes,
 )
-from .vsa_kernels import NDX, build_linearize, build_rollout2, extract_vsa_spec
+from .vsa_kernels import (
+    NDX,
+    build_linearize,
+    build_rollout,
+    build_rollout2,
+    extract_vsa_spec,
+)
 
 
 class _LaneState(NamedTuple):
@@ -79,11 +85,27 @@ def build_lane_solver(
     nb: int = 128,
     interpret: Optional[bool] = None,
     use_gaps: bool = False,
+    kernel_ok: bool = True,
+    ls_first_single: bool = False,
+    rollout_tiles: int = 1,
 ):
     """Build ``solve_batch(x0s[, xs_init, us_init]) -> SolveResult`` for a
     CONCRETE problem (constants are baked into the kernels; call outside
     jit). ``x0s`` is [B, nx] batch-major; the result is batch-major with
     an empty per-iteration log (use the standard path for logging runs).
+
+    ``kernel_ok=False`` restores the pre-round-4 linearization health
+    check (leaf-by-leaf ``isfinite`` over the 9 derivative tensors read
+    back from HBM) in place of the in-kernel flag — kept only for the
+    A/B measurement in scripts/diag_linok.py and the parity test.
+
+    ``ls_first_single``: evaluate the line search's FIRST alpha with the
+    one-trajectory rollout kernel and only enter the two-trial ladder on
+    rejection. When most lanes accept the full step (warm solves, late
+    iterations) this skips the second trajectory's wasted work; when the
+    first alpha rejects it costs one extra (cheaper) launch. Accepted
+    steps and iteration counts are bit-identical either way (the 1- and
+    2-trial kernels share the exact per-trajectory op sequence).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -92,7 +114,11 @@ def build_lane_solver(
     T = problem.T
     nu = spec.nu
     lin = build_linearize(spec, T, nb, interpret, lane_io=True)
-    roll2 = build_rollout2(spec, T, nb, interpret, use_gaps=use_gaps)
+    roll2 = build_rollout2(spec, T, nb, interpret, use_gaps=use_gaps,
+                           tiles=rollout_tiles)
+    roll1 = (build_rollout(spec, T, nb, interpret, use_gaps=use_gaps,
+                           lane_io=True, tiles=rollout_tiles)
+             if ls_first_single else None)
     boxed = bounds is not None
     box_pk = spec.per_knot_box
     if boxed:
@@ -196,7 +222,7 @@ def build_lane_solver(
 
         def body(st: _LaneState) -> _LaneState:
             active = ~st.done
-            cost, run, term, xnext_l = lin(st.xs, st.us, wterm_l)
+            cost, run, term, xnext_l, ok_l = lin(st.xs, st.us, wterm_l)
 
             # defect gaps fs = diff(xs, [x0; xnext]) — Euclidean state,
             # matching both solvers.ddp._gaps and the lane kernels' dx
@@ -208,10 +234,16 @@ def build_lane_solver(
             feasible = gap_norm < s.th_gaptol
             infeas_f = (~feasible).astype(dtype)
 
-            lin_ok = jnp.isfinite(cost)
-            for leaf in list(run.values()) + list(term.values()):
-                lin_ok = lin_ok & jnp.all(
-                    jnp.isfinite(leaf), axis=tuple(range(leaf.ndim - 1)))
+            # linearization health: in-kernel finiteness flag over all nine
+            # derivative tensors (computed while they were in registers —
+            # avoids re-reading ~360 MB/iter from HBM) AND a finite cost
+            if kernel_ok:
+                lin_ok = jnp.isfinite(cost) & ok_l
+            else:
+                lin_ok = jnp.isfinite(cost)
+                for leaf in list(run.values()) + list(term.values()):
+                    lin_ok = lin_ok & jnp.all(
+                        jnp.isfinite(leaf), axis=tuple(range(leaf.ndim - 1)))
 
             bw_fs = fs_l if use_gaps else zeros_fs
             kp = st.kprev if warm else None
@@ -318,6 +350,27 @@ def build_lane_solver(
             ls0 = pvary_like(
                 (jnp.zeros((Bp,), jnp.int32), st.done | bw_failed,
                  st.xs, st.us, cost, jnp.zeros((Bp,), dtype)), st.xs)
+            if ls_first_single:
+                # round 0: first alpha only, one-trajectory launch — the
+                # common full-step acceptance skips trial b's wasted work
+                i0, acc0, xs_b0, us_b0, cost_b0, alpha_b0 = ls0
+                pred0 = ~acc0
+                roll_box = (lb_l, ub_l) if boxed and not box_pk else ()
+                xs_t0, us_t0, cost_t0 = roll1(
+                    st.xs, st.us, bw.k, bw.K, x0_l,
+                    jnp.broadcast_to(alphas[0], (1, Bp)),
+                    bw_fs, infeas_f[None, :] if use_gaps else zeros_1B,
+                    wterm_l, *roll_box)
+                take0 = ls_accept(alphas[0], xs_t0, cost_t0) & pred0
+                ls0 = pvary_like((
+                    i0 + pred0.astype(jnp.int32),
+                    acc0 | take0,
+                    _sel(take0, xs_t0, xs_b0),
+                    _sel(take0, us_t0, us_b0),
+                    jnp.where(take0, cost_t0, cost_b0),
+                    jnp.where(take0, jnp.broadcast_to(alphas[0], (Bp,)),
+                              alpha_b0),
+                ), st.xs)
             _, any_accept, xs_new, us_new, cost_new, alpha_sel = jax.lax.while_loop(
                 ls_cond, ls_body, ls0)
 

@@ -512,29 +512,41 @@ def _rollout2_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
             cost_out[:] = cost_ab_s[idx] + wterm_ref[:] * c_goal_T
 
 
-def _rollout_layout(T, nb, n_trials, use_gaps, itemsize, t_chunk=20):
+def _rollout_layout(T, nb, n_trials, use_gaps, itemsize, t_chunk=20, pack=None):
     """Chunk plan from the VMEM budget (see riccati._chunk_plan)."""
     per_knot = 8 + 4 + 4 + 32 + n_trials * 12   # xs,us,k,K + per-trial out
     if use_gaps:
         per_knot += 16                           # fs (two shifted views)
     budget = 6 * 1024 * 1024
-    tc_mem = max(1, budget // (per_knot * layout.PACK * nb * itemsize))
+    tc_mem = max(1, budget // (per_knot * (pack or layout.PACK) * nb * itemsize))
     return layout.pick_chunks(T, min(t_chunk, tc_mem))
 
 
 def _rollout_call(spec, T, nb, interpret, use_gaps, n_trials,
                   xs_l, us_l, k_l, K_l, x0_l, alphas_l,
-                  fs_l, infeas_l, wterm_l, lb_l, ub_l):
+                  fs_l, infeas_l, wterm_l, lb_l, ub_l, tiles=1):
     """Shared host wrapper for the 1- and 2-trial rollout kernels.
 
     Lane-layout IO (trailing dim Bp per layout.padded_batch). Returns a
     list of (xs_try [T+1,8,Bp], us_try [T,nu,Bp], cost [Bp]) per trial.
+
+    ``tiles`` > 1 processes that many (PACK, nb) batch tiles per grid
+    step (block sublane dim tiles*PACK): each vector op in the serial
+    per-knot chain then issues ``tiles`` back-to-back vreg instructions
+    on independent scenarios — instruction-level parallelism for the
+    latency-bound T loop at the cost of tiles x the VMEM footprint
+    (compensated by a shorter time chunk). Silently degrades to 1 when
+    the padded batch has too few rows.
     """
     nu = spec.nu
     dtype = xs_l.dtype
     Bp = xs_l.shape[-1]
     rows, P, G = layout.pack_dims(Bp, nb)
-    Tc, NC, padt = _rollout_layout(T, nb, n_trials, use_gaps, dtype.itemsize)
+    if tiles > 1 and rows % (tiles * P) == 0:
+        P *= tiles
+        G //= tiles
+    Tc, NC, padt = _rollout_layout(T, nb, n_trials, use_gaps, dtype.itemsize,
+                                   pack=P)
     Tp = T + padt
 
     def prep_t(x):          # pad the time axis at the END, then pack
@@ -654,7 +666,8 @@ def _rollout_call(spec, T, nb, interpret, use_gaps, n_trials,
 
 
 def build_rollout2(spec: VSASpec, T: int, nb: int = 128,
-                   interpret: bool = False, use_gaps: bool = False):
+                   interpret: bool = False, use_gaps: bool = False,
+                   tiles: int = 1):
     """Lane-IO two-trial rollout: same layout contract as the lane-io
     :func:`build_rollout` plus a second alpha input; returns
     (xs_a, us_a, cost_a, xs_b, us_b, cost_b)."""
@@ -664,14 +677,15 @@ def build_rollout2(spec: VSASpec, T: int, nb: int = 128,
         (xs_a, us_a, c_a), (xs_b, us_b, c_b) = _rollout_call(
             spec, T, nb, interpret, use_gaps, 2,
             xs_l, us_l, k_l, K_l, x0_l, (alpha_a_l, alpha_b_l),
-            fs_l, infeas_l, wterm_l, lb_l, ub_l)
+            fs_l, infeas_l, wterm_l, lb_l, ub_l, tiles=tiles)
         return xs_a, us_a, c_a, xs_b, us_b, c_b
 
     return rollout2_lanes
 
 
 def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
-                  use_gaps: bool = False, lane_io: bool = False):
+                  use_gaps: bool = False, lane_io: bool = False,
+                  tiles: int = 1):
     """Returns rollout(xs, us, k, K, x0, alpha, fs, infeasible) ->
     (xs_try, us_try, cost), batch-major in/out, dispatched to the lane
     kernel. ``fs``/``infeasible`` drive the FDDP gap contraction (pass
@@ -687,7 +701,7 @@ def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
         [(xs_o, us_o, cost_o)] = _rollout_call(
             spec, T, nb, interpret, use_gaps, 1,
             xs_l, us_l, k_l, K_l, x0_l, (alpha_l,),
-            fs_l, infeas_l, wterm_l, lb_l, ub_l)
+            fs_l, infeas_l, wterm_l, lb_l, ub_l, tiles=tiles)
         return xs_o, us_o, cost_o
 
     if lane_io:
@@ -994,8 +1008,10 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
     With ``lane_io=True`` the returned callable takes lane-layout inputs
     (xs_l [T+1,8,Bp], us_l [T,nu,Bp], wterm_l [1,Bp]) and returns
     (cost [Bp], run dict of lane tensors [T,...,Bp], term dict of lane
-    tensors [...,Bp], xnext_l [T,8,Bp]) — no relayouts, ready to feed
-    :func:`..riccati.riccati_box_backward_lanes` directly."""
+    tensors [...,Bp], xnext_l [T,8,Bp], ok_l [Bp] bool) — no relayouts,
+    ready to feed :func:`..riccati.riccati_box_backward_lanes` directly;
+    ``ok_l`` is the in-kernel finiteness AND over all run+term derivative
+    tensors (the lane solver's linearization health check)."""
     NU = spec.nu
 
     def linearize_lanes(xs_l, us_l, wterm_l):
@@ -1023,18 +1039,18 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
             def kern(x_ref, u_ref, wterm_ref, *rest):
                 tgt_ref, outs = (rest[0], rest[1:]) if with_tgt else (None, rest)
                 (Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
-                 xnext_ref, cost_ref) = outs
+                 xnext_ref, cost_ref, ok_ref) = outs
                 _linearize_kernel(
                     spec_, terminal,
                     x_ref.at[0], u_ref.at[0], wterm_ref.at[0], tgt_ref,
                     Fx_ref.at[0], Fu_ref.at[0], Lx_ref.at[0], Lu_ref.at[0],
                     Lxx_ref.at[0], Lxu_ref.at[0], Luu_ref.at[0],
-                    xnext_ref.at[0], cost_ref.at[0])
+                    xnext_ref.at[0], cost_ref.at[0], ok_ref.at[0])
             return kern
 
         out_specs = [io_spec(NDX, NDX), io_spec(NDX, NU), io_spec(NDX), io_spec(NU),
                      io_spec(NDX, NDX), io_spec(NDX, NU), io_spec(NU, NU),
-                     io_spec(NDX), io_spec()]
+                     io_spec(NDX), io_spec(), io_spec()]
 
         def shapes(nt):
             return out_structs([
@@ -1046,6 +1062,7 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
                 jax.ShapeDtypeStruct((nt, NDX, NU, rows, nb), dtype),
                 jax.ShapeDtypeStruct((nt, NU, NU, rows, nb), dtype),
                 jax.ShapeDtypeStruct((nt, NDX, rows, nb), dtype),
+                jax.ShapeDtypeStruct((nt, rows, nb), dtype),
                 jax.ShapeDtypeStruct((nt, rows, nb), dtype),
             ], xs_l)
 
@@ -1067,7 +1084,7 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
             out_shape=shapes(T),
             interpret=interpret,
         )(*run_args)
-        Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, xnext, costs = (
+        Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, xnext, costs, ok = (
             layout.from_packed(o) for o in outs)
 
         # terminal knot: single-knot grid (baked terminal target)
@@ -1079,14 +1096,17 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
             out_shape=shapes(1),
             interpret=interpret,
         )(xs_p[T:T + 1], us_p[:1] * 0.0, wterm_p)
-        tFx, tFu, tLx, tLu, tLxx, tLxu, tLuu, _, tcost = (
+        tFx, tFu, tLx, tLu, tLxx, tLxu, tLuu, _, tcost, tok = (
             layout.from_packed(o) for o in term_outs)
 
         run = dict(Fx=Fx, Fu=Fu, Lx=Lx, Lu=Lu, Lxx=Lxx, Lxu=Lxu, Luu=Luu)
         term = dict(Fx=tFx[0], Fu=tFu[0], Lx=tLx[0], Lu=tLu[0],
                     Lxx=tLxx[0], Lxu=tLxu[0], Luu=tLuu[0])
         cost = jnp.sum(costs, axis=0) + tcost[0]
-        return cost, run, term, xnext
+        # per-lane derivative finiteness, reduced in-kernel (same semantics
+        # as an isfinite AND over every run/term tensor above)
+        ok_l = (jnp.min(ok, axis=0) * tok[0]) > 0.5
+        return cost, run, term, xnext, ok_l
 
     if lane_io:
         return linearize_lanes
@@ -1108,7 +1128,7 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
                 x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], dtype)], axis=0)
             return jnp.transpose(x, tuple(range(1, x.ndim)) + (0,))
 
-        cost_l, run_l, term_l, xnext_l = linearize_lanes(
+        cost_l, run_l, term_l, xnext_l, _ = linearize_lanes(
             to_lanes(xs), to_lanes(us), wterm_l)
 
         def back(x):

@@ -72,6 +72,11 @@ def main():
             use_pallas_backward=not f64), "homotopy"),
     ]
 
+    # STUDY_ONLY=<substring> runs a subset (e.g. "homotopy" for the
+    # equal-budget f64-vs-f32 divergence pin, VERDICT r3 item 5)
+    only = os.environ.get("STUDY_ONLY", "")
+    configs = [c for c in configs if only in c[0]]
+
     print(f"# cold-start study: {path}, B={B}, T={T}, budget={maxiter}, th={th:g}")
     for name, kw, st, glob in configs:
         t0 = time.perf_counter()

@@ -152,7 +152,7 @@ def main():
     wterm_l = jnp.full((1, Bp), 100.0, dtype)
     lin_args = (xs_l, us_l, wterm_l)
 
-    cost, run, term, xnext = jax.jit(lin)(*lin_args)
+    cost, run, term, xnext, _ = jax.jit(lin)(*lin_args)
     bw_args = (run["Fx"], run["Fu"], run["Lx"], run["Lu"],
                run["Lxx"], run["Lxu"], run["Luu"],
                term["Lx"], term["Lxx"], us_l,

@@ -217,3 +217,46 @@ def test_lane_solver_modified_preset_warm_start_args():
     lane = build_lane_solver(w.problem, SolverSettings(maxiter=5, th_stop=1e-7),
                              bounds)(x0s, xs0, us0)
     _check(ref, lane)
+
+
+def test_lane_solver_kernel_ok_matches_hbm_reduction():
+    """The in-kernel linearization-ok flag (round 4) must be bit-identical
+    to the old leaf-by-leaf HBM isfinite reduction it replaced — including
+    on a lane whose linearization genuinely goes non-finite (inf x0)."""
+    from aslr_to_tpu.pallas.lane_solver import build_lane_solver
+
+    w = two_dof_vsa_boxddp(T=6)
+    st = SolverSettings(maxiter=3, th_stop=1e-7)
+    x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(21), (4, 8))
+    x0s = x0s.at[0, 0].set(jnp.inf)   # lane 0: non-finite linearize
+    a = build_lane_solver(w.problem, st, bounds=w.bounds, interpret=True,
+                          use_gaps=False, kernel_ok=True)(x0s)
+    b = build_lane_solver(w.problem, st, bounds=w.bounds, interpret=True,
+                          use_gaps=False, kernel_ok=False)(x0s)
+    assert bool(np.asarray(a.diverged)[0]) and bool(np.asarray(b.diverged)[0])
+    for name in a._fields:
+        if name == "log":
+            continue
+        va, vb = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+        assert np.array_equal(va, vb, equal_nan=True), name
+
+
+def test_lane_solver_ls_first_single_bit_identical():
+    """The single-trial first line-search round (round 4 dispatch
+    experiment) must not change any result bit: same accepted alphas,
+    iterations, and trajectories as the always-two-trial ladder, on a
+    workload that genuinely backtracks."""
+    from aslr_to_tpu.pallas.lane_solver import build_lane_solver
+
+    w = two_dof_vsa_boxddp(T=8)
+    st = SolverSettings(maxiter=4, th_stop=1e-7)
+    x0s = 0.25 * jax.random.normal(jax.random.PRNGKey(5), (4, 8))
+    a = build_lane_solver(w.problem, st, bounds=w.bounds, interpret=True,
+                          use_gaps=False)(x0s)
+    b = build_lane_solver(w.problem, st, bounds=w.bounds, interpret=True,
+                          use_gaps=False, ls_first_single=True)(x0s)
+    for name in a._fields:
+        if name == "log":
+            continue
+        va, vb = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+        assert np.array_equal(va, vb, equal_nan=True), name
