@@ -55,7 +55,7 @@ from .vsa_kernels import (
     NDX,
     build_linearize,
     build_rollout,
-    build_rollout2,
+    build_rolloutn,
     extract_vsa_spec,
 )
 
@@ -88,6 +88,7 @@ def build_lane_solver(
     kernel_ok: bool = True,
     ls_first_single: bool = False,
     rollout_tiles: int = 1,
+    ls_trials: int = 2,
 ):
     """Build ``solve_batch(x0s[, xs_init, us_init]) -> SolveResult`` for a
     CONCRETE problem (constants are baked into the kernels; call outside
@@ -114,8 +115,8 @@ def build_lane_solver(
     T = problem.T
     nu = spec.nu
     lin = build_linearize(spec, T, nb, interpret, lane_io=True)
-    roll2 = build_rollout2(spec, T, nb, interpret, use_gaps=use_gaps,
-                           tiles=rollout_tiles)
+    rolln = build_rolloutn(spec, T, nb, interpret, use_gaps=use_gaps,
+                           n_trials=ls_trials, tiles=rollout_tiles)
     roll1 = (build_rollout(spec, T, nb, interpret, use_gaps=use_gaps,
                            lane_io=True, tiles=rollout_tiles)
              if ls_first_single else None)
@@ -315,31 +316,41 @@ def build_lane_solver(
             def ls_body(c):
                 i, accepted, xs_b, us_b, cost_b, alpha_b = c
                 pred = ls_pred(i, accepted)
-                alpha_a = jnp.take(alphas, jnp.clip(i, 0, s.n_alphas - 1))
-                alpha_b2 = jnp.take(alphas, jnp.clip(i + 1, 0, s.n_alphas - 1))
+                alpha_ks = [jnp.take(alphas, jnp.clip(i + k, 0, s.n_alphas - 1))
+                            for k in range(ls_trials)]
                 # per-knot boxes are baked into the rollout kernel (SMEM
                 # tables); only the shared runtime box rides lane inputs
                 roll_box = (lb_l, ub_l) if boxed and not box_pk else ()
-                xs_ta, us_ta, cost_ta, xs_tb, us_tb, cost_tb = roll2(
+                outs = rolln(
                     st.xs, st.us, bw.k, bw.K, x0_l,
-                    alpha_a[None, :], alpha_b2[None, :],
+                    *[a[None, :] for a in alpha_ks],
                     bw_fs, infeas_f[None, :] if use_gaps else zeros_1B, wterm_l,
                     *roll_box)
-                acc_a = ls_accept(alpha_a, xs_ta, cost_ta)
-                # trial b only counts where a rejected AND b is a genuinely
-                # new alpha (at the ladder's end both trials evaluate the
-                # last alpha; dedupe keeps iteration counts identical to
-                # the one-trial loop)
-                acc_b = (ls_accept(alpha_b2, xs_tb, cost_tb)
-                         & (~acc_a) & (i + 1 < s.n_alphas))
-                accept = acc_a | acc_b
+                # trial k>0 only counts for a genuinely new alpha (at the
+                # ladder's end the later trials re-evaluate the last
+                # alpha; dedupe keeps iteration counts identical to the
+                # one-trial loop)
+                acc = []
+                for k in range(ls_trials):
+                    a_k = ls_accept(alpha_ks[k], outs[3 * k], outs[3 * k + 2])
+                    if k:
+                        a_k = a_k & (i + k < s.n_alphas)
+                    acc.append(a_k)
+                accept = acc[0]
+                for a_k in acc[1:]:
+                    accept = accept | a_k
                 take = accept & pred
-                xs_t = _sel(acc_a, xs_ta, xs_tb)
-                us_t = _sel(acc_a, us_ta, us_tb)
-                cost_t = jnp.where(acc_a, cost_ta, cost_tb)
-                alpha = jnp.where(acc_a, alpha_a, alpha_b2)
+                # first accepting trial wins: fold from the last backwards
+                last = ls_trials - 1
+                xs_t, us_t = outs[3 * last], outs[3 * last + 1]
+                cost_t, alpha = outs[3 * last + 2], alpha_ks[last]
+                for k in range(ls_trials - 2, -1, -1):
+                    xs_t = _sel(acc[k], outs[3 * k], xs_t)
+                    us_t = _sel(acc[k], outs[3 * k + 1], us_t)
+                    cost_t = jnp.where(acc[k], outs[3 * k + 2], cost_t)
+                    alpha = jnp.where(acc[k], alpha_ks[k], alpha)
                 return (
-                    i + 2 * pred.astype(jnp.int32),
+                    i + ls_trials * pred.astype(jnp.int32),
                     accepted | take,
                     _sel(take, xs_t, xs_b),
                     _sel(take, us_t, us_b),

@@ -432,47 +432,49 @@ def _rollout_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
         cost_ref[:] = cost_s[:] + wterm_ref[:] * c_goal_T
 
 
-def _rollout2_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
-                     *refs):
-    """Two line-search trials per launch (alphas a and b per lane).
+def _rolloutn_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
+                     n_trials: int, *refs):
+    """``n_trials`` line-search trials per launch (one alpha ladder rung
+    each per lane).
 
     The rollout is latency/issue-bound (~3.3 kflops/lane-knot over a
-    serial T loop, docs/BENCH.md rooflines); evaluating two step lengths
-    in one pass reuses every loaded input (xs/us/k/K) and halves the
-    line-search rounds, and the two trajectories' dependency chains
+    serial T loop, docs/BENCH.md rooflines); evaluating several step
+    lengths in one pass reuses every loaded input (xs/us/k/K) and divides
+    the line-search rounds, and the trajectories' dependency chains
     interleave inside the knot body (independent work the VPU can
-    overlap). Trial math is the exact op sequence of _rollout_kernel per
-    trajectory, so results are bit-identical to two separate launches."""
-    (xs_ref, us_ref, k_ref, K_ref, x0_ref, (alpha_a_ref, alpha_b_ref),
+    overlap — measured: REMOVING the second trial loses 4-6%, so extra
+    trials ride the latency shadow nearly free). Trial math is the exact
+    op sequence of _rollout_kernel per trajectory, so results are
+    bit-identical to separate launches."""
+    (xs_ref, us_ref, k_ref, K_ref, x0_ref, alpha_refs,
      fsa_ref, fsb_ref, infeas_ref, wterm_ref, tgt_ref, lb_ref, ub_ref,
-     rest) = _unpack_rollout_refs(spec, use_gaps, 2, refs)
-    (xs_a_out, us_a_out, cost_a_ref,
-     xs_b_out, us_b_out, cost_b_ref, x0t_out,
-     xa_s, xb_s, cost_ab_s) = rest
+     rest) = _unpack_rollout_refs(spec, use_gaps, n_trials, refs)
+    per_trial, tail = rest[:3 * n_trials], rest[3 * n_trials:]
+    xs_outs = per_trial[0::3]
+    us_outs = per_trial[1::3]
+    cost_refs = per_trial[2::3]
+    x0t_out = tail[0]
+    x_scratch = tail[1:1 + n_trials]
+    cost_s = tail[1 + n_trials]
     j = pl.program_id(1)
-    alpha_a = alpha_a_ref[:]
-    alpha_b = alpha_b_ref[:]
+    alphas = [a_ref[:] for a_ref in alpha_refs]
     if use_gaps:
         infeas = infeas_ref[:]
-        gscale_a = (alpha_a - 1.0) * infeas
-        gscale_b = (alpha_b - 1.0) * infeas
+        gscales = [(a - 1.0) * infeas for a in alphas]
     else:
-        gscale_a = gscale_b = None
-    trials = (
-        (alpha_a, gscale_a, xs_a_out, us_a_out, xa_s),
-        (alpha_b, gscale_b, xs_b_out, us_b_out, xb_s),
-    )
+        gscales = [None] * n_trials
+    trials = tuple(
+        (alphas[i], gscales[i], xs_outs[i], us_outs[i], x_scratch[i])
+        for i in range(n_trials))
 
     @pl.when(j == 0)
     def _():
-        x0t_a = _rollout_x0t(x0_ref, fsa_ref, gscale_a, use_gaps)
-        x0t_b = _rollout_x0t(x0_ref, fsa_ref, gscale_b, use_gaps)
-        xa_s[:] = x0t_a
-        xb_s[:] = x0t_b
         # each trial's gap-contracted initial state (they differ by gscale)
-        x0t_out[0] = x0t_a
-        x0t_out[1] = x0t_b
-        cost_ab_s[:] = jnp.zeros_like(cost_ab_s)
+        for i, (_, gscale, _, _, x_s) in enumerate(trials):
+            x0t = _rollout_x0t(x0_ref, fsa_ref, gscale, use_gaps)
+            x_s[:] = x0t
+            x0t_out[i] = x0t
+        cost_s[:] = jnp.zeros_like(cost_s)
 
     def body(t, costs):
         xr = xs_ref[t]
@@ -498,18 +500,17 @@ def _rollout2_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
             new_costs.append(cost_acc + cost_t)
         return tuple(new_costs)
 
-    zero = jnp.zeros_like(alpha_a)
-    costs = jax.lax.fori_loop(0, Tc, body, (zero, zero))
-    cost_ab_s[0] += costs[0]
-    cost_ab_s[1] += costs[1]
+    zero = jnp.zeros_like(alphas[0])
+    costs = jax.lax.fori_loop(0, Tc, body, (zero,) * n_trials)
+    for i in range(n_trials):
+        cost_s[i] += costs[i]
 
     @pl.when(j == NC - 1)
     def _():
         for idx, (_, _, _, _, x_s) in enumerate(trials):
             xT = [x_s[i] for i in range(NDX)]
             c_goal_T, _ = _goal_cost_lanes(spec, [xT[0], xT[1]], terminal=True)
-            cost_out = cost_a_ref if idx == 0 else cost_b_ref
-            cost_out[:] = cost_ab_s[idx] + wterm_ref[:] * c_goal_T
+            cost_refs[idx][:] = cost_s[idx] + wterm_ref[:] * c_goal_T
 
 
 def _rollout_layout(T, nb, n_trials, use_gaps, itemsize, t_chunk=20, pack=None):
@@ -629,9 +630,10 @@ def _rollout_call(spec, T, nb, interpret, use_gaps, n_trials,
         out_specs = [per_trial_spec[0], per_trial_spec[1], cspec(NDX),
                      per_trial_spec[2]]
     else:
-        kern = functools.partial(_rollout2_kernel, spec, T, Tc, NC, use_gaps)
-        scratch = [pltpu.VMEM((NDX, P, nb), dtype), pltpu.VMEM((NDX, P, nb), dtype),
-                   pltpu.VMEM((2, P, nb), dtype)]
+        kern = functools.partial(_rolloutn_kernel, spec, T, Tc, NC, use_gaps,
+                                 n_trials)
+        scratch = ([pltpu.VMEM((NDX, P, nb), dtype)] * n_trials
+                   + [pltpu.VMEM((n_trials, P, nb), dtype)])
 
     outs = pl.pallas_call(
         kern,
@@ -653,34 +655,45 @@ def _rollout_call(spec, T, nb, interpret, use_gaps, n_trials,
             layout.from_packed(cost_p),
         ))
     else:
-        xs_a, us_a, c_a, xs_b2, us_b2, c_b, x0t_p = outs
-        x0ts = layout.from_packed(x0t_p)
-        for xs_o, us_o, c_o, x0t in ((xs_a, us_a, c_a, x0ts[0]),
-                                     (xs_b2, us_b2, c_b, x0ts[1])):
+        x0ts = layout.from_packed(outs[-1])
+        for i in range(n_trials):
+            xs_o, us_o, c_o = outs[3 * i:3 * i + 3]
             results.append((
-                jnp.concatenate([x0t[None], layout.from_packed(xs_o)[:T]], axis=0),
+                jnp.concatenate([x0ts[i][None], layout.from_packed(xs_o)[:T]],
+                                axis=0),
                 layout.from_packed(us_o)[:T],
                 layout.from_packed(c_o),
             ))
     return results
 
 
+def build_rolloutn(spec: VSASpec, T: int, nb: int = 128,
+                   interpret: bool = False, use_gaps: bool = False,
+                   n_trials: int = 2, tiles: int = 1):
+    """Lane-IO ``n_trials``-trial rollout: same layout contract as the
+    lane-io :func:`build_rollout` with ``n_trials`` alpha inputs; returns
+    ``n_trials`` (xs, us, cost) triples (flattened tuple)."""
+
+    def rolloutn_lanes(xs_l, us_l, k_l, K_l, x0_l, *rest):
+        alpha_ls, rest = rest[:n_trials], rest[n_trials:]
+        fs_l, infeas_l, wterm_l = rest[:3]
+        lb_l, ub_l = (rest[3], rest[4]) if len(rest) > 3 else (None, None)
+        trials = _rollout_call(
+            spec, T, nb, interpret, use_gaps, n_trials,
+            xs_l, us_l, k_l, K_l, x0_l, alpha_ls,
+            fs_l, infeas_l, wterm_l, lb_l, ub_l, tiles=tiles)
+        return tuple(x for tr in trials for x in tr)
+
+    return rolloutn_lanes
+
+
 def build_rollout2(spec: VSASpec, T: int, nb: int = 128,
                    interpret: bool = False, use_gaps: bool = False,
                    tiles: int = 1):
-    """Lane-IO two-trial rollout: same layout contract as the lane-io
-    :func:`build_rollout` plus a second alpha input; returns
+    """Two-trial rollout (see :func:`build_rolloutn`); returns
     (xs_a, us_a, cost_a, xs_b, us_b, cost_b)."""
-
-    def rollout2_lanes(xs_l, us_l, k_l, K_l, x0_l, alpha_a_l, alpha_b_l,
-                       fs_l, infeas_l, wterm_l, lb_l=None, ub_l=None):
-        (xs_a, us_a, c_a), (xs_b, us_b, c_b) = _rollout_call(
-            spec, T, nb, interpret, use_gaps, 2,
-            xs_l, us_l, k_l, K_l, x0_l, (alpha_a_l, alpha_b_l),
-            fs_l, infeas_l, wterm_l, lb_l, ub_l, tiles=tiles)
-        return xs_a, us_a, c_a, xs_b, us_b, c_b
-
-    return rollout2_lanes
+    return build_rolloutn(spec, T, nb, interpret, use_gaps, n_trials=2,
+                          tiles=tiles)
 
 
 def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,

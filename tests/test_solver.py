@@ -186,3 +186,24 @@ def test_vsa_boxddp_descends_and_respects_bounds():
     assert np.abs(us).max() <= 100.0 + 1e-9
     costs = np.asarray(r.log.costs)
     assert float(r.cost) < 0.7 * costs[0]
+
+
+def test_seven_dof_sea_generic_path_descends():
+    """7-DoF SEA reach (the reference's talos_arm generality,
+    unittest/test_asr_free_fwddyn.py:51) solves on the generic path; the
+    lane fast path must reject it with a NAMED reason, never silently."""
+    from aslr_to_tpu.parallel.batch import make_batched_solver
+    from aslr_to_tpu.pallas.vsa_kernels import supports_fast_path
+    from aslr_to_tpu.workloads.presets import seven_dof_sea
+
+    w = seven_dof_sea(T=10)
+    ok, reason = supports_fast_path(w.problem, w.bounds)
+    assert not ok and "2-DoF" in reason
+    x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(3), (2, w.problem.state.nx))
+    out = make_batched_solver(
+        w.problem, SolverSettings(maxiter=8, th_stop=1e-7),
+        use_gaps=True, warm_start=True, keep_log=True)(x0s)
+    assert bool(np.all(np.isfinite(np.asarray(out.cost))))
+    assert not bool(np.any(np.asarray(out.diverged)))
+    costs0 = np.asarray(out.log.costs)[:, 0]
+    assert np.all(np.asarray(out.cost) < 0.9 * costs0)
