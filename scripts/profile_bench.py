@@ -30,7 +30,8 @@ def main():
 
     dtype = jnp.float32
     w = two_dof_vsa_boxddp(T=T, dtype=dtype)
-    settings = SolverSettings(maxiter=MAXITER, th_stop=1e-5, use_pallas_backward=True)
+    settings = SolverSettings(maxiter=MAXITER, th_stop=1e-5, use_pallas_backward=True,
+                              boxqp_warm_iters=int(os.environ.get("BENCH_QP_WARM", "2")))
     # PROF_PATH: "lanes" (default, the production path) or "fused"
     path = os.environ.get("PROF_PATH", "lanes")
     fn = make_batched_solver(w.problem, settings, use_gaps=False, bounds=w.bounds,
