@@ -93,6 +93,13 @@ class SolverSettings:
     # (aslr_to_tpu/pallas/riccati.py) when the solve is vmapped. Identical
     # math; one kernel launch instead of ~T x 500 HLO dispatches.
     use_pallas_backward: bool = False
+    # Log-depth backward: replace the sequential Riccati scan with the
+    # associative-scan formulation (solvers/assoc_riccati.py) — O(log T)
+    # depth for LONG horizons. Unbounded (DDP/FDDP) families only; values
+    # match the scan to floating-point reassociation, so prefer f64 (or
+    # accept tolerance-level iterate drift in f32). Off by default: at
+    # the reference's T<=200 the sequential sweeps win.
+    assoc_backward: bool = False
 
 
 class SolveLog(NamedTuple):
@@ -428,6 +435,30 @@ def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds,
     warm = kprev is not None
     qp_iters = settings.boxqp_warm_iters if warm else settings.boxqp_iters
     shared_box = bounds is not None and jnp.ndim(bounds.lb) == 1
+    if settings.assoc_backward:
+        if bounds is not None:
+            raise ValueError("assoc_backward supports the unbounded "
+                             "(DDP/FDDP) families only — the Box variants' "
+                             "clamped-QP recursion is not a linear-"
+                             "fractional map (see solvers/assoc_riccati.py)")
+        from .assoc_riccati import fddp_backward_assoc
+
+        # zero gaps recover the plain-DDP recursion (no Vx deflection)
+        fs_eff = fs if use_gaps else jnp.zeros_like(fs)
+        (k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok,
+         retryable) = fddp_backward_assoc(
+            run_diff.Fx, run_diff.Fu, run_diff.Lx, run_diff.Lu,
+            run_diff.Lxx, run_diff.Lxu, run_diff.Luu,
+            term_diff.Lx, term_diff.Lxx, fs_eff,
+            jnp.asarray(reg, dtype=us.dtype))
+        T = us.shape[0]
+        zeros_Vx = jnp.zeros((T + 1, problem.state.ndx), dtype=us.dtype)
+        zero = jnp.zeros_like(dg)
+        return _Backward(
+            k=k, K=K, Vx=zeros_Vx, Vxx=Vxx_all, dg=dg, dq=dq,
+            dg_gap=dg_gap if use_gaps else zero,
+            dq_gap=dq_gap if use_gaps else zero,
+            stop=stop, ok=ok, retryable=retryable)
     if shared_box and (not use_gaps) and settings.use_pallas_backward:
         core = _get_box_backward_core(qp_iters, jax.default_backend() != "tpu", warm)
         kp = (us, kprev) if warm else (us,)
