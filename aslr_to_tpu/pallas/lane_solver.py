@@ -102,11 +102,13 @@ def build_lane_solver(
 
     ``ls_first_single``: evaluate the line search's FIRST alpha with the
     one-trajectory rollout kernel and only enter the two-trial ladder on
-    rejection. When most lanes accept the full step (warm solves, late
-    iterations) this skips the second trajectory's wasted work; when the
-    first alpha rejects it costs one extra (cheaper) launch. Accepted
-    steps and iteration counts are bit-identical either way (the 1- and
-    2-trial kernels share the exact per-trajectory op sequence).
+    rejection. Measured SLOWER on both the cold and warm bench workloads
+    (docs/BENCH.md round 4) — kept off. Semantically identical to the
+    default ladder; bit-identical only when the 1- and 2-trial kernels
+    pick the same time-chunk plan (true at the no-gaps default VMEM
+    budget; the gap variants chunk differently, so per-trajectory cost
+    sums can differ by reassociation ulps and an acceptance test on the
+    boundary may flip).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

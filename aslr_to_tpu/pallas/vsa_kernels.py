@@ -687,15 +687,6 @@ def build_rolloutn(spec: VSASpec, T: int, nb: int = 128,
     return rolloutn_lanes
 
 
-def build_rollout2(spec: VSASpec, T: int, nb: int = 128,
-                   interpret: bool = False, use_gaps: bool = False,
-                   tiles: int = 1):
-    """Two-trial rollout (see :func:`build_rolloutn`); returns
-    (xs_a, us_a, cost_a, xs_b, us_b, cost_b)."""
-    return build_rolloutn(spec, T, nb, interpret, use_gaps, n_trials=2,
-                          tiles=tiles)
-
-
 def build_rollout(spec: VSASpec, T: int, nb: int = 128, interpret: bool = False,
                   use_gaps: bool = False, lane_io: bool = False,
                   tiles: int = 1):

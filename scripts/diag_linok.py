@@ -7,9 +7,17 @@ Variants (each vs the default build):
   MB/iteration at B=4096 T=100 f32) instead of the in-kernel ok flag.
 - ``ls_single``: single-trial first line-search round (skip trial b's
   wasted work when the full step accepts) instead of always-two-trial.
+- ``roll_tiles2`` / ``tiles2+single``: two (8,128) batch tiles per
+  rollout grid step (serial-chain ILP).
 
 Timing mirrors bench.py's pipelined loop. Results belong in docs/BENCH.md
 (measured deltas or recorded negative results, per the noise-floor rule).
+Note on the "costs bit-identical" check: variants that change the
+rollout's VMEM footprint (tiles, extra trials) can change the
+time-chunk plan, so their on-device costs differ from baseline by
+cost-sum reassociation ulps — expected, not a correctness signal; the
+correctness bar is the interpret-mode bit-parity tests in
+tests/test_lane_solver.py.
 
 Usage: python scripts/diag_linok.py  (knobs: B, T, MAXITER, REPS, ROUNDS env)
 """

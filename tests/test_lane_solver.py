@@ -260,3 +260,50 @@ def test_lane_solver_ls_first_single_bit_identical():
             continue
         va, vb = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
         assert np.array_equal(va, vb, equal_nan=True), name
+
+
+def test_lane_solver_ls_trials_bit_identical():
+    """Non-default trials-per-launch (the measured-negative sweep knob)
+    must keep solver results bit-identical to the default two-trial
+    ladder at an unchunked horizon."""
+    from aslr_to_tpu.pallas.lane_solver import build_lane_solver
+
+    w = two_dof_vsa_boxddp(T=8)
+    st = SolverSettings(maxiter=4, th_stop=1e-7)
+    x0s = 0.25 * jax.random.normal(jax.random.PRNGKey(5), (4, 8))
+    base = build_lane_solver(w.problem, st, bounds=w.bounds, interpret=True,
+                             use_gaps=False)(x0s)
+    for n in (3, 4):
+        v = build_lane_solver(w.problem, st, bounds=w.bounds, interpret=True,
+                              use_gaps=False, ls_trials=n)(x0s)
+        for name in base._fields:
+            if name == "log":
+                continue
+            va, vb = np.asarray(getattr(base, name)), np.asarray(getattr(v, name))
+            assert np.array_equal(va, vb, equal_nan=True), (n, name)
+
+
+def test_rollout_tiles_bit_identical():
+    """rollout_tiles=2 (two (8,128) batch tiles per grid step) is pure
+    block-layout repacking: outputs must be bit-identical to tiles=1 at
+    an unchunked horizon with a large padded batch. (T must keep BOTH
+    builds unchunked in f64 — the doubled pack halves the VMEM chunk
+    budget, and a chunked cost sum differs by reassociation.)"""
+    from aslr_to_tpu.pallas.vsa_kernels import build_rolloutn, extract_vsa_spec
+
+    w = two_dof_vsa_boxddp(T=4)
+    spec = extract_vsa_spec(w.problem, w.bounds)
+    T, Bp, nu = 4, 2048, 4
+    key = jax.random.PRNGKey(0)
+    xs = 0.05 * jax.random.normal(key, (T + 1, 8, Bp))
+    us = 0.01 * jax.random.normal(key, (T, nu, Bp))
+    k = 0.01 * jax.random.normal(jax.random.PRNGKey(1), (T, nu, Bp))
+    K = 0.01 * jax.random.normal(jax.random.PRNGKey(2), (T, nu, 8, Bp))
+    args = (xs, us, k, K, xs[0],
+            jnp.full((1, Bp), 1.0), jnp.full((1, Bp), 0.5),
+            jnp.zeros((T + 1, 8, Bp)), jnp.zeros((1, Bp)),
+            jnp.full((1, Bp), 100.0))
+    r1 = build_rolloutn(spec, T, interpret=True, n_trials=2, tiles=1)(*args)
+    r2 = build_rolloutn(spec, T, interpret=True, n_trials=2, tiles=2)(*args)
+    for i, (a, b) in enumerate(zip(r1, r2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), i
