@@ -71,6 +71,8 @@ class _LaneState(NamedTuple):
     converged: jnp.ndarray
     diverged: jnp.ndarray
     kprev: jnp.ndarray     # [T, nu, Bp] previous k (BoxQP warm start)
+    rej_streak: jnp.ndarray  # [Bp] int32 consecutive full-ladder rejections
+    nrt_streak: jnp.ndarray  # [Bp] int32 consecutive non-retryable bw fails
 
 
 def _sel(pred, new, old):
@@ -191,6 +193,8 @@ def build_lane_solver(
             converged=jnp.zeros((Bp,), bool),
             diverged=jnp.zeros((Bp,), bool),
             kprev=jnp.zeros((T, nu, Bp), dtype),
+            rej_streak=jnp.zeros((Bp,), jnp.int32),
+            nrt_streak=jnp.zeros((Bp,), jnp.int32),
         ), x0_l)
 
         warm = boxed and s.boxqp_warm_iters > 0
@@ -397,6 +401,22 @@ def build_lane_solver(
             diverged = ((bw_failed & (reg >= s.reg_max))
                         | (do_inc & (reg_new >= s.reg_max))
                         | ~lin_ok)
+            # doomed-lane early retirement (solvers/ddp.py semantics): a
+            # lane rejecting the full ladder doomed_reject_iters times in
+            # a row under a rising reg — or failing the backward
+            # non-retryably twice — stops dragging the batch through
+            # retry + ladder work and is flagged diverged now rather than
+            # after the reg walk reaches reg_max
+            full_reject = (~any_accept) & do_inc
+            rej_streak = jnp.where(full_reject, st.rej_streak + 1,
+                                   jnp.zeros_like(st.rej_streak))
+            nonretry = bw_failed & ~bw.retryable
+            nrt_streak = jnp.where(nonretry, st.nrt_streak + 1,
+                                   jnp.zeros_like(st.nrt_streak))
+            if s.doomed_reject_iters:
+                diverged = (diverged
+                            | (rej_streak >= s.doomed_reject_iters)
+                            | (nrt_streak >= 2))
             converged = feasible & (bw.stop < s.th_stop)
 
             it1 = st.it + 1
@@ -413,6 +433,8 @@ def build_lane_solver(
                 converged=jnp.where(active, converged, st.converged),
                 diverged=jnp.where(active, diverged, st.diverged),
                 kprev=_sel(active & bw.ok, bw.k, st.kprev),
+                rej_streak=jnp.where(active, rej_streak, st.rej_streak),
+                nrt_streak=jnp.where(active, nrt_streak, st.nrt_streak),
             )
 
         final = jax.lax.while_loop(lambda st: jnp.any(~st.done), body, init)

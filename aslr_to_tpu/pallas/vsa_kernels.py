@@ -526,7 +526,9 @@ def _rollout_layout(T, nb, n_trials, use_gaps, itemsize, t_chunk=20, pack=None):
 def _rollout_call(spec, T, nb, interpret, use_gaps, n_trials,
                   xs_l, us_l, k_l, K_l, x0_l, alphas_l,
                   fs_l, infeas_l, wterm_l, lb_l, ub_l, tiles=1):
-    """Shared host wrapper for the 1- and 2-trial rollout kernels.
+    """Shared host wrapper for the 1- and N-trial rollout kernels
+    (``n_trials`` alpha rungs per launch; 2 is the measured optimum,
+    docs/BENCH.md round 4).
 
     Lane-layout IO (trailing dim Bp per layout.padded_batch). Returns a
     list of (xs_try [T+1,8,Bp], us_try [T,nu,Bp], cost [Bp]) per trial.

@@ -115,6 +115,17 @@ def fddp_backward_assoc(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, reg):
     (k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable).
     Values agree with the sequential scan up to floating-point
     reassociation (use f64 for parity checks).
+
+    Numerical note: the combine and the terminal closure use explicit
+    ``inv(I + B C)`` (measured 3x cheaper than a batched LU per
+    application at these 8x8 blocks). For PSD B, C — which the
+    regularized recursion guarantees — ``I + B C`` has eigenvalues
+    >= 1, so the inverse is well-conditioned; but long-horizon suffix
+    composites accumulate reassociation error faster than the
+    sequential sweep, so prefer f64 when enabling ``assoc_backward``
+    beyond parity testing (f32 drift is tolerance-level, not
+    catastrophic — no conditioning guard is installed on this opt-in
+    path).
     """
     dtype = Fx.dtype
     ndx = Fx.shape[-1]

@@ -89,6 +89,21 @@ class SolverSettings:
     # schedule keeps escalating on failed iterations, so reg still reaches
     # reg_max (and flags divergence) after a few outer iterations.
     bw_retry_cap: int = 3
+    # Early retirement of doomed scenarios (0 = off). A scenario that
+    # rejects the ENTIRE alpha ladder this many CONSECUTIVE iterations
+    # while the step-based schedule is raising reg — or whose backward
+    # fails non-retryably (f32 value-recursion overflow, where more reg
+    # only weakens feedback) twice in a row — is marked diverged
+    # immediately instead of walking reg from 1e-9 to reg_max over ~18
+    # iterations. Crocoddyl aborts the whole solve in both situations;
+    # under SPMD batching the un-retired walk made every doomed lane
+    # drag its batch through full retry + line-search ladders for most
+    # of the budget (34% + 26% of bench device time, docs/BENCH.md
+    # round 4). Each counted iteration raised reg x10 and re-ran the
+    # full ladder at the new reg, so the retired lanes are the same
+    # lanes the walk would eventually flag — only earlier (convergence
+    # stats verified unchanged on the bench workloads, round 5).
+    doomed_reject_iters: int = 0
     # Route the Box backward pass through the fused Pallas Riccati kernel
     # (aslr_to_tpu/pallas/riccati.py) when the solve is vmapped. Identical
     # math; one kernel launch instead of ~T x 500 HLO dispatches.
@@ -155,6 +170,8 @@ class _LoopState(NamedTuple):
     diverged: jnp.ndarray
     log: SolveLog
     kprev: jnp.ndarray    # [T, nu] previous backward's gains (BoxQP warm start)
+    rej_streak: jnp.ndarray  # consecutive full-ladder rejections (doomed-lane
+    nrt_streak: jnp.ndarray  # retirement) / consecutive non-retryable bw fails
 
 
 def _linearize_core(problem: ShootingProblem, xs, us):
@@ -681,6 +698,8 @@ def _solve_impl(problem, xs_init, us_init, settings, use_gaps, bounds, fast) -> 
         diverged=jnp.asarray(False),
         log=log0,
         kprev=jnp.zeros((T, nu), dtype=dtype),
+        rej_streak=jnp.asarray(0, dtype=jnp.int32),
+        nrt_streak=jnp.asarray(0, dtype=jnp.int32),
     ), x0)
     warm = s.boxqp_warm_iters > 0 and bounds is not None
 
@@ -827,6 +846,21 @@ def _solve_impl(problem, xs_init, us_init, settings, use_gaps, bounds, fast) -> 
                     | (do_inc & (reg_new >= s.reg_max))
                     | ~lin_ok)
 
+        # -- doomed-scenario early retirement (see SolverSettings) --------
+        # full_reject: the ladder genuinely ran (bw ok — failed backwards
+        # start "accepted") and rejected every alpha, and the schedule is
+        # escalating reg in response
+        full_reject = (~any_accept) & do_inc
+        rej_streak = jnp.where(full_reject, st.rej_streak + 1,
+                               jnp.zeros_like(st.rej_streak))
+        nonretry = bw_failed & ~bw.retryable
+        nrt_streak = jnp.where(nonretry, st.nrt_streak + 1,
+                               jnp.zeros_like(st.nrt_streak))
+        if s.doomed_reject_iters:
+            diverged = (diverged
+                        | (rej_streak >= s.doomed_reject_iters)
+                        | (nrt_streak >= 2))
+
         converged = feasible & (bw.stop < s.th_stop)
 
         it = st.it
@@ -846,6 +880,7 @@ def _solve_impl(problem, xs_init, us_init, settings, use_gaps, bounds, fast) -> 
             xs=xs_new, us=us_new, cost=cost_new, stop=bw.stop, reg=reg_new,
             it=it1, done=done, converged=converged, diverged=diverged, log=log,
             kprev=jnp.where(bw.ok, bw.k, st.kprev),
+            rej_streak=rej_streak, nrt_streak=nrt_streak,
         )
 
     final = jax.lax.while_loop(cond, body, init)

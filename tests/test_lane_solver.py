@@ -307,3 +307,19 @@ def test_rollout_tiles_bit_identical():
     r2 = build_rolloutn(spec, T, interpret=True, n_trials=2, tiles=2)(*args)
     for i, (a, b) in enumerate(zip(r1, r2)):
         assert np.array_equal(np.asarray(a), np.asarray(b)), i
+
+
+def test_lane_doomed_retirement_matches_reference():
+    """Doomed-lane early retirement (doomed_reject_iters) must match
+    vmap(solve) bit-for-bit — including WHICH lanes retire and WHEN —
+    and must genuinely fire on this fixture (lanes with long full-ladder
+    rejection streaks, none of which diverge without the cap)."""
+    w = two_dof_vsa_boxddp(T=12)
+    x0s = 1.2 * jax.random.normal(jax.random.PRNGKey(2), (6, 8))
+    st = SolverSettings(maxiter=10, th_stop=1e-7, doomed_reject_iters=3)
+    ref = make_batched_solver(w.problem, st, use_gaps=False, bounds=w.bounds)(x0s)
+    lane = make_batched_solver(w.problem, st, use_gaps=False, bounds=w.bounds,
+                               use_fast_path="lanes")(x0s)
+    retired = np.asarray(ref.diverged) & (np.asarray(ref.iterations) < 10)
+    assert bool(np.any(retired)), "fixture no longer triggers retirement"
+    _check(ref, lane)

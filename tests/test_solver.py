@@ -207,3 +207,43 @@ def test_seven_dof_sea_generic_path_descends():
     assert not bool(np.any(np.asarray(out.diverged)))
     costs0 = np.asarray(out.log.costs)[:, 0]
     assert np.all(np.asarray(out.cost) < 0.9 * costs0)
+
+
+def test_doomed_retirement_generic():
+    """Early retirement (SolverSettings.doomed_reject_iters): a scenario
+    rejecting the full alpha ladder N consecutive iterations under a
+    rising reg is flagged diverged immediately instead of walking reg to
+    reg_max. Off (0) and never-firing (100) settings are bit-identical;
+    with the cap on, untriggered scenarios are untouched and triggered
+    ones retire strictly earlier."""
+    import dataclasses
+
+    from aslr_to_tpu.workloads.presets import two_dof_vsa_boxddp
+
+    w = two_dof_vsa_boxddp(T=12)
+    x0s = 1.2 * jax.random.normal(jax.random.PRNGKey(2), (6, 8))
+
+    def run(cap):
+        st = SolverSettings(maxiter=10, th_stop=1e-7, doomed_reject_iters=cap)
+
+        def one(x0):
+            p = dataclasses.replace(w.problem, x0=x0)
+            return solve(p, settings=st, use_gaps=False, bounds=w.bounds)
+
+        return jax.jit(jax.vmap(one))(x0s)
+
+    off, never, capped = run(0), run(100), run(3)
+    for name in off._fields:
+        va, vb = jax.tree.leaves(getattr(off, name)), jax.tree.leaves(getattr(never, name))
+        for a, b in zip(va, vb):
+            assert np.array_equal(np.asarray(a), np.asarray(b), equal_nan=True), name
+
+    it_off = np.asarray(off.iterations)
+    it_cap = np.asarray(capped.iterations)
+    retired = np.asarray(capped.diverged) & ~np.asarray(off.diverged)
+    assert bool(np.any(retired)), "fixture no longer triggers retirement"
+    assert np.all(it_cap[retired] < it_off[retired])
+    untouched = ~retired
+    assert np.allclose(np.asarray(off.cost)[untouched],
+                       np.asarray(capped.cost)[untouched], rtol=0, atol=0)
+    assert np.array_equal(it_off[untouched], it_cap[untouched])
