@@ -233,6 +233,52 @@ def solve2(M, b):
     )
 
 
+def choln(M):
+    """Unrolled n x n lane Cholesky of an SPD matrix given as nested row
+    lists of lane arrays; returns the lower factor as nested lists (the
+    n-DoF generalization of :func:`solve2`'s closed form — trace-time
+    unrolled, Mosaic-safe: no tiny-dim dot_general)."""
+    n = len(M)
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = M[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def choln_solve(L, b):
+    """Solve L L^T x = b per lane; b list of n lanes -> list of n lanes."""
+    n = len(L)
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def solven(M, b):
+    """n x n SPD lane solve (Cholesky); M nested rows, b list of n lanes.
+    Dispatches to the 2x2 closed form at n=2 (bit-compatibility with the
+    existing 2-DoF kernels is NOT preserved by the factored path)."""
+    if len(M) == 2:
+        return list(solve2(M, b))
+    return choln_solve(choln(M), b)
+
+
 # -- transcendentals Mosaic lacks -------------------------------------------
 
 _ATAN_COEFFS = (  # Abramowitz & Stegun 4.4.49, |err| <= 2e-8 on [0, 1]

@@ -52,7 +52,6 @@ from .riccati import (
     riccati_fddp_backward_lanes,
 )
 from .vsa_kernels import (
-    NDX,
     build_linearize,
     build_rollout,
     build_rolloutn,
@@ -73,6 +72,8 @@ class _LaneState(NamedTuple):
     kprev: jnp.ndarray     # [T, nu, Bp] previous k (BoxQP warm start)
     rej_streak: jnp.ndarray  # [Bp] int32 consecutive full-ladder rejections
     nrt_streak: jnp.ndarray  # [Bp] int32 consecutive non-retryable bw fails
+    log: SolveLog          # [maxiter, Bp] per-iteration series ([maxiter, 0]
+                           # when keep_log=False)
 
 
 def _sel(pred, new, old):
@@ -91,11 +92,20 @@ def build_lane_solver(
     ls_first_single: bool = False,
     rollout_tiles: int = 1,
     ls_trials: int = 2,
+    keep_log: bool = False,
 ):
     """Build ``solve_batch(x0s[, xs_init, us_init]) -> SolveResult`` for a
     CONCRETE problem (constants are baked into the kernels; call outside
-    jit). ``x0s`` is [B, nx] batch-major; the result is batch-major with
-    an empty per-iteration log (use the standard path for logging runs).
+    jit). ``x0s`` is [B, nx] batch-major.
+
+    ``keep_log=True`` records the per-iteration scalar series
+    (:class:`SolveLog` — cost, stop, reg, step, d1, d2, gap norm; [B,
+    maxiter], rows past a lane's termination stay NaN) exactly as
+    ``vmap(solve)`` does, so ``utils.verbose.format_iteration_table``
+    renders production lane solves (CallbackLogger parity, reference
+    ``python/aslr_to/__init__.py:17-28``). Costs ~7 [Bp]-row HBM writes
+    per iteration — measured at/below timing noise on the bench config —
+    but default-off to keep the driver metric's program minimal.
 
     ``kernel_ok=False`` restores the pre-round-4 linearization health
     check (leaf-by-leaf ``isfinite`` over the 9 derivative tensors read
@@ -118,6 +128,7 @@ def build_lane_solver(
     spec = extract_vsa_spec(problem, bounds)
     T = problem.T
     nu = spec.nu
+    NDX = spec.ndx
     lin = build_linearize(spec, T, nb, interpret, lane_io=True)
     rolln = build_rolloutn(spec, T, nb, interpret, use_gaps=use_gaps,
                            n_trials=ls_trials, tiles=rollout_tiles)
@@ -140,6 +151,12 @@ def build_lane_solver(
         dtype = x0s.dtype
         Bp = padded_batch(B, nb)
         pad = Bp - B
+        # big-state (ndx > 8) kernels run under the raised scoped-VMEM
+        # budget (vsa_kernels._big_state_params; the default 16 MiB
+        # cannot hold the [ndx, ndx, P, nb] per-knot intermediates plus
+        # XLA's VMEM-promoted k/K loop buffers — measured 20-24 MB at
+        # ndx=28). Any batch size compiles; B=1024 is the measured
+        # throughput knee on the 7-DoF bench (scripts/bench_7dof.py).
 
         def to_lanes(x):
             x = jnp.asarray(x, dtype)
@@ -182,6 +199,9 @@ def build_lane_solver(
         alphas = jnp.asarray([2.0 ** -i for i in range(s.n_alphas)], dtype=dtype)
         inf = jnp.full((Bp,), jnp.inf, dtype)
         pad_mask = jnp.arange(Bp) >= B                      # padding lanes never run
+        log_cols = Bp if keep_log else 0
+        nan_log = SolveLog(*[jnp.full((s.maxiter, log_cols), jnp.nan, dtype)
+                             for _ in SolveLog._fields])
 
         # carries cast to x0's varying axes: the lane loop runs under
         # shard_map with the varying-manual-axes check ON (utils/vma.py)
@@ -195,6 +215,7 @@ def build_lane_solver(
             kprev=jnp.zeros((T, nu, Bp), dtype),
             rej_streak=jnp.zeros((Bp,), jnp.int32),
             nrt_streak=jnp.zeros((Bp,), jnp.int32),
+            log=nan_log,
         ), x0_l)
 
         warm = boxed and s.boxqp_warm_iters > 0
@@ -394,7 +415,10 @@ def build_lane_solver(
             # -- regularization schedule / termination ---------------------
             eff_step = jnp.where(any_accept, alpha_sel, alphas[-1])
             reg_dec = jnp.maximum(reg / s.reg_factor, s.reg_min)
-            reg_inc = jnp.minimum(reg * s.reg_factor, s.reg_max)
+            # full-ladder rejections escalate by reg_reject_factor
+            # (solvers/ddp.py semantics)
+            inc_f = jnp.where(any_accept, s.reg_factor, s.reg_reject_factor)
+            reg_inc = jnp.minimum(reg * inc_f, s.reg_max)
             do_inc = eff_step <= s.th_stepinc
             do_dec = (~do_inc) & (eff_step > s.th_stepdec)
             reg_new = jnp.where(do_inc, reg_inc, jnp.where(do_dec, reg_dec, reg))
@@ -421,6 +445,27 @@ def build_lane_solver(
 
             it1 = st.it + 1
             done = converged | diverged | (it1 >= s.maxiter)
+            # per-iteration log (vmap(solve) semantics: a lane's row i is
+            # written only while it is active, so rows past its
+            # termination stay NaN). All active lanes share the same row
+            # index — their ``it`` equals the loop-pass count — so the
+            # write is one dynamic row update per series.
+            if keep_log:
+                gi = jnp.max(st.it)
+                def _row(series, val):
+                    return series.at[gi].set(jnp.where(active, val, series[gi]))
+                log = SolveLog(
+                    costs=_row(st.log.costs, cost_new),
+                    stops=_row(st.log.stops, bw.stop),
+                    regs=_row(st.log.regs, reg_new),
+                    steps=_row(st.log.steps,
+                               jnp.where(any_accept, alpha_sel, 0.0)),
+                    d1=_row(st.log.d1, dg),
+                    d2=_row(st.log.d2, dq),
+                    gap_norms=_row(st.log.gap_norms, gap_norm),
+                )
+            else:
+                log = st.log
             # masked merge: finished lanes keep their state (vmap semantics)
             return _LaneState(
                 xs=_sel(active, xs_new, st.xs),
@@ -435,18 +480,24 @@ def build_lane_solver(
                 kprev=_sel(active & bw.ok, bw.k, st.kprev),
                 rej_streak=jnp.where(active, rej_streak, st.rej_streak),
                 nrt_streak=jnp.where(active, nrt_streak, st.nrt_streak),
+                log=log,
             )
 
         final = jax.lax.while_loop(lambda st: jnp.any(~st.done), body, init)
 
-        empty = jnp.zeros((B, 0), dtype)
+        if keep_log:
+            out_log = SolveLog(*[jnp.transpose(a, (1, 0))[:B]
+                                 for a in final.log])
+        else:
+            empty = jnp.zeros((B, 0), dtype)
+            out_log = SolveLog(*[empty for _ in SolveLog._fields])
         return SolveResult(
             xs=jnp.transpose(final.xs, (2, 0, 1))[:B],
             us=jnp.transpose(final.us, (2, 0, 1))[:B],
             cost=final.cost[:B], stop=final.stop[:B],
             iterations=final.it[:B], converged=final.converged[:B],
             diverged=final.diverged[:B], reg=final.reg[:B],
-            log=SolveLog(*[empty for _ in SolveLog._fields]),
+            log=out_log,
         )
 
     return jax.jit(solve_batch, static_argnames=())
@@ -461,6 +512,10 @@ def build_lane_homotopy(
     use_gaps: bool = False,
     scales=None,
     ub_stages=None,
+    keep_log: bool = False,
+    rescue_scales=None,
+    rescue_ub_stages=None,
+    rescue_size: int = 0,
 ):
     """Lane-resident terminal-weight continuation (solvers/homotopy.py
     semantics): each stage runs the whole lane solver at a scaled terminal
@@ -468,31 +523,33 @@ def build_lane_homotopy(
     and, with ``ub_stages`` ([n_stages, nu]), the per-stage control upper
     bound (stiffness-bound continuation) — are runtime lane inputs, so all
     stages share ONE compiled lane program; ``settings.maxiter`` is the
-    per-stage budget."""
+    per-stage budget.
+
+    ``rescue_size`` > 0 adds a diverged-lane RESCUE pass: up to that many
+    lanes the main schedule flagged diverged are gathered (argsorted
+    diverged-first — all static shapes, one jitted program), re-solved
+    COLD under the tighter ``rescue_scales`` / ``rescue_ub_stages``
+    schedule (see solvers/homotopy.rescue_continuation), and scattered
+    back wherever the rescue itself did not diverge. Lanes that were not
+    diverged are never touched, so the main pass's results are
+    bit-preserved; the extra compute is honestly inside the same timed
+    program (~rescue_size/B x n_rescue_stages/n_stages of the main
+    pass)."""
     from ..solvers.homotopy import DEFAULT_SCALES
 
     if scales is None:
         scales = DEFAULT_SCALES
     if ub_stages is not None and bounds is None:
         raise ValueError("ub_stages requires bounds")
+    if rescue_size and rescue_scales is None:
+        raise ValueError("rescue_size needs rescue_scales")
     lane = build_lane_solver(problem, settings, bounds, nb=nb,
-                             interpret=interpret, use_gaps=use_gaps)
+                             interpret=interpret, use_gaps=use_gaps,
+                             keep_log=keep_log)
     T = problem.T
     nu = problem.nu
 
-    def solve_batch(x0s, xs_init=None, us_init=None):
-        B = x0s.shape[0]
-        dtype = x0s.dtype
-        xs0 = (jnp.broadcast_to(x0s[:, None, :], (B, T + 1) + x0s.shape[1:])
-               if xs_init is None else jnp.asarray(xs_init, dtype))
-        us0 = (jnp.zeros((B, T, nu), dtype) if us_init is None
-               else jnp.asarray(us_init, dtype))
-        scale_arr = jnp.asarray(list(scales), dtype=dtype)
-        ub_arr = (None if ub_stages is None
-                  else jnp.asarray(ub_stages, dtype))
-        if ub_arr is not None and ub_arr.shape[0] != scale_arr.shape[0]:
-            raise ValueError("ub_stages must have one row per scale")
-
+    def _staged(x0s, xs0, us0, scale_arr, ub_arr):
         def stage(carry, inp):
             scale, ub = inp
             xs, us = carry
@@ -501,5 +558,46 @@ def build_lane_homotopy(
 
         (_, _), results = jax.lax.scan(stage, (xs0, us0), (scale_arr, ub_arr))
         return jax.tree.map(lambda a: a[-1], results)
+
+    def _stage_arrays(n, dtype, sc, ub):
+        scale_arr = jnp.asarray(list(sc), dtype=dtype)
+        ub_arr = None if ub is None else jnp.asarray(ub, dtype)
+        if ub_arr is not None and ub_arr.shape[0] != scale_arr.shape[0]:
+            raise ValueError("ub_stages must have one row per scale")
+        return scale_arr, ub_arr
+
+    def solve_batch(x0s, xs_init=None, us_init=None):
+        B = x0s.shape[0]
+        dtype = x0s.dtype
+        xs0 = (jnp.broadcast_to(x0s[:, None, :], (B, T + 1) + x0s.shape[1:])
+               if xs_init is None else jnp.asarray(xs_init, dtype))
+        us0 = (jnp.zeros((B, T, nu), dtype) if us_init is None
+               else jnp.asarray(us_init, dtype))
+        res = _staged(x0s, xs0, us0,
+                      *_stage_arrays(B, dtype, scales, ub_stages))
+        if not rescue_size:
+            return res
+
+        R = min(rescue_size, B)
+        order = jnp.argsort(~res.diverged)          # diverged lanes first
+        idx = order[:R]
+        x0_r = x0s[idx]
+        xs0_r = jnp.broadcast_to(x0_r[:, None, :], (R, T + 1) + x0_r.shape[1:])
+        us0_r = jnp.zeros((R, T, nu), dtype)
+        res_r = _staged(x0_r, xs0_r, us0_r,
+                        *_stage_arrays(R, dtype, rescue_scales,
+                                       rescue_ub_stages))
+        take = res.diverged[idx] & ~res_r.diverged
+
+        def merge(full, r):
+            if full.ndim == 2 and full.shape[1] == 0:   # empty log leaves
+                return full
+            t = take.reshape((-1,) + (1,) * (r.ndim - 1))
+            return full.at[idx].set(jnp.where(t, r, full[idx]))
+
+        # keep_log leaves merge like any other series ([B, maxiter]); the
+        # rescued lanes' logs describe the (final) rescue stage, matching
+        # every other field's provenance
+        return jax.tree.map(merge, res, res_r)
 
     return jax.jit(solve_batch)

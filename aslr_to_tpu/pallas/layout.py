@@ -24,25 +24,39 @@ NB = 128       # lane width (f32 vreg minor dim)
 PACK = 8       # sublane pack factor (f32 vreg major dim)
 
 
-def padded_batch(B: int, nb: int = NB) -> int:
+def pack_for(ndx: int) -> int:
+    """Sublane pack factor for a state tangent dimension: the full (8,
+    128) vreg for the 2-DoF family (ndx=8 — the measured 4.96x round-3
+    win), half-tiles for big states (one knot of ndx=28 derivative
+    tensors at pack=8 would double-buffer ~16.6 MB, past the VMEM
+    budget; at pack=4 the same blocks halve and still vectorize 512
+    scenarios per op)."""
+    return PACK if ndx <= 8 else 4
+
+
+def padded_batch(B: int, nb: int = NB, pack: int = PACK) -> int:
     """Smallest valid padded batch: a multiple of ``nb`` whose row count
-    ``Bp // nb`` is either < PACK (single whole-axis block) or a multiple
-    of PACK (grid of (PACK, nb) blocks)."""
+    ``Bp // nb`` is either < ``pack`` (single whole-axis block) or a
+    multiple of ``pack`` (grid of (pack, nb) blocks). ``pack`` < 8 (in
+    multiples Mosaic accepts: the whole axis, or 8 on f32) trades vreg
+    fill for VMEM footprint — the big-state (ndx=28) kernels use pack=4
+    because one knot's derivative tensors at (8, 128) would double-buffer
+    past the ~16 MB VMEM budget."""
     rows = -(-B // nb)
-    if rows > PACK:
-        rows = -(-rows // PACK) * PACK
+    if rows > pack:
+        rows = -(-rows // pack) * pack
     return rows * nb
 
 
-def pack_dims(Bp: int, nb: int = NB):
+def pack_dims(Bp: int, nb: int = NB, pack: int = PACK):
     """``(rows, pack, grid)`` for a padded batch ``Bp``: row count of the
     packed axis, sublane block size, and number of batch-tile grid steps."""
     assert Bp % nb == 0, f"Bp={Bp} not a multiple of nb={nb}"
     rows = Bp // nb
-    if rows <= PACK:
+    if rows <= pack:
         return rows, rows, 1
-    assert rows % PACK == 0, f"rows={rows} not a multiple of PACK={PACK}"
-    return rows, PACK, rows // PACK
+    assert rows % pack == 0, f"rows={rows} not a multiple of pack={pack}"
+    return rows, pack, rows // pack
 
 
 def to_packed(x, nb: int = NB):

@@ -56,14 +56,29 @@ _QP_ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625)
 # Mosaic lowers these to VPU elementwise ops and adds; tiny-dim dot_general
 # is not lowerable on TPU.
 
+# The one-shot broadcast forms materialize an [n,k,m,batch...] outer
+# product before the reduction — at the 2-DoF sizes (<= 8x8x8, <= 2 MB)
+# that is the fastest Mosaic lowering and is kept verbatim (bit-pinned by
+# the interpret parity suite). At the big-state sizes (ndx=28: 22.5 MB
+# per product) it blows the kernel's scoped-VMEM stack, so matmuls above
+# the threshold accumulate row-by-row ([k,m,batch...] live at a time).
+_MM_ONESHOT_MAX = 512
+
+
 def _matmul_t_left(A, B):
     """A^T @ B per lane: A [k,n,...], B [k,m,...] -> [n,m,...]."""
-    return jnp.sum(A[:, :, None] * B[:, None], axis=0)
+    if A.shape[0] * A.shape[1] * B.shape[1] <= _MM_ONESHOT_MAX:
+        return jnp.sum(A[:, :, None] * B[:, None], axis=0)
+    return jnp.stack([jnp.sum(A[:, i][:, None] * B, axis=0)
+                      for i in range(A.shape[1])])
 
 
 def _matmul(A, B):
     """A @ B per lane: A [n,k,...], B [k,m,...] -> [n,m,...]."""
-    return jnp.sum(A[:, :, None] * B[None], axis=1)
+    if A.shape[0] * A.shape[1] * B.shape[1] <= _MM_ONESHOT_MAX:
+        return jnp.sum(A[:, :, None] * B[None], axis=1)
+    return jnp.stack([jnp.sum(A[i][:, None] * B, axis=0)
+                      for i in range(A.shape[0])])
 
 
 def _matvec_t(A, v):
@@ -445,12 +460,15 @@ def _pad_front_t(x, pad):
     return jnp.pad(x, widths)
 
 
-def _chunk_plan(T, t_chunk, boxed, gaps, P, nb, itemsize):
+def _chunk_plan(T, t_chunk, boxed, gaps, P, nb, itemsize, ndx=NDX, nu=NU):
     """Pick the time-chunk length from a VMEM budget: in+out floats per
     knot per lane element, double-buffered across grid steps."""
-    per_knot = 224 + 36          # Fx..Luu,us + k,K
+    # Fx..Luu(,us) inputs + k,K outputs, dimension-generic (at the 2-DoF
+    # defaults this is the round-3 plan: 224 + 36)
+    per_knot = (2 * ndx * ndx + 2 * ndx * nu + ndx + 2 * nu + nu * nu
+                + (nu if boxed else 0) + nu + nu * ndx)
     if gaps:
-        per_knot += 64 + 8       # Vxx_all + fs
+        per_knot += ndx * ndx + ndx   # Vxx_all out + fs in
     budget = 6 * 1024 * 1024     # bytes per buffer set (x2 with pipelining)
     tc_mem = max(1, budget // (per_knot * P * nb * itemsize))
     return pick_chunks(T, min(t_chunk, tc_mem))
@@ -558,10 +576,12 @@ def _fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
     boxed = us_l is not None
     warm = kprev_l is not None
     T = Fx_l.shape[0]
+    ndx = Fx_l.shape[1]          # dimension-generic: 8 (2-DoF) or 4*nl
     dtype = Fx_l.dtype
     Bp = Fx_l.shape[-1]
     rows, P, G = pack_dims(Bp, nb)
-    Tc, NC, pad = _chunk_plan(T, t_chunk, boxed, True, P, nb, dtype.itemsize)
+    Tc, NC, pad = _chunk_plan(T, t_chunk, boxed, True, P, nb, dtype.itemsize,
+                              ndx=ndx, nu=nu)
     Tp = T + pad
 
     def prep(x):
@@ -584,9 +604,9 @@ def _fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
             to_packed(tLx_l, nb), to_packed(tLxx_l, nb),
             prep(fs_l[:T]), to_packed(fs_l[T], nb)]
     in_specs = [
-        tspec(NDX, NDX), tspec(NDX, nu), tspec(NDX), tspec(nu),
-        tspec(NDX, NDX), tspec(NDX, nu), tspec(nu, nu),
-        cspec(NDX), cspec(NDX, NDX), tspec(NDX), cspec(NDX),
+        tspec(ndx, ndx), tspec(ndx, nu), tspec(ndx), tspec(nu),
+        tspec(ndx, ndx), tspec(ndx, nu), tspec(nu, nu),
+        cspec(ndx), cspec(ndx, ndx), tspec(ndx), cspec(ndx),
     ]
     if boxed:
         args += [prep(us_l)]
@@ -608,24 +628,31 @@ def _fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
 
     kernel = functools.partial(_riccati_fddp_kernel, Tc, NC, pad, nu, boxed,
                                qp_iters, per_knot_box, warm)
+    # big-state (ndx > 8) kernels: raise Mosaic's scoped-VMEM budget above
+    # the 16 MiB default — the live [ndx, ndx, P, nb] per-knot
+    # intermediates plus XLA's VMEM-promoted k/K loop-carry buffers
+    # measured 20-24 MB; v5e has 128 MiB physical VMEM
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+               if ndx > 8 else None)
     k_p, K_p, Vxx_p, VxxT_p, stats_p, _, _ = pl.pallas_call(
         kernel,
         grid=(G, NC),
+        compiler_params=cparams,
         in_specs=in_specs,
-        out_specs=[tspec(nu), tspec(nu, NDX), tspec(NDX, NDX), cspec(NDX, NDX),
-                   cspec(8), cspec(NDX), cspec(NDX, NDX)],
+        out_specs=[tspec(nu), tspec(nu, ndx), tspec(ndx, ndx), cspec(ndx, ndx),
+                   cspec(8), cspec(ndx), cspec(ndx, ndx)],
         out_shape=out_structs([
             jax.ShapeDtypeStruct((Tp, nu, rows, nb), dtype),
-            jax.ShapeDtypeStruct((Tp, nu, NDX, rows, nb), dtype),
-            jax.ShapeDtypeStruct((Tp, NDX, NDX, rows, nb), dtype),
-            jax.ShapeDtypeStruct((NDX, NDX, rows, nb), dtype),
+            jax.ShapeDtypeStruct((Tp, nu, ndx, rows, nb), dtype),
+            jax.ShapeDtypeStruct((Tp, ndx, ndx, rows, nb), dtype),
+            jax.ShapeDtypeStruct((ndx, ndx, rows, nb), dtype),
             jax.ShapeDtypeStruct((8, rows, nb), dtype),
-            jax.ShapeDtypeStruct((NDX, rows, nb), dtype),
-            jax.ShapeDtypeStruct((NDX, NDX, rows, nb), dtype),
+            jax.ShapeDtypeStruct((ndx, rows, nb), dtype),
+            jax.ShapeDtypeStruct((ndx, ndx, rows, nb), dtype),
         ], Fx_l),
         scratch_shapes=[
-            pltpu.VMEM((NDX, P, nb), dtype),
-            pltpu.VMEM((NDX, NDX, P, nb), dtype),
+            pltpu.VMEM((ndx, P, nb), dtype),
+            pltpu.VMEM((ndx, ndx, P, nb), dtype),
         ],
         interpret=interpret,
     )(*args)

@@ -1,4 +1,4 @@
-"""Fused Pallas kernels for the 2-DoF VSA flagship workload.
+"""Fused Pallas kernels for the soft-actuated workload families.
 
 The generic solver is layout-bound in XLA: every op on ``[B, 8, 8]``-style
 tensors uses a fraction of the vector lanes, so solve time scales linearly
@@ -8,12 +8,19 @@ knot linearization — entirely in lane layout (batch on the 128-wide vector
 lanes) with the dynamics from :mod:`..ops.lanes` traced inline, including
 the RNEA partial derivatives via ``jax.jvp`` seeds *inside* the kernel.
 
-Specialization contract (checked by the builder): VSA dynamics
-(``DifferentialVSADynamics``) on a concrete 2-DoF revolute chain, Euler
-integrator, and the reference cost structure — frame-placement goal +
-weighted state/control regularizers + optional linear stiffness cost
-(covers both ``two_dof_vsa_boxddp`` and ``two_dof_vsa_modified``). The
-generic XLA path remains the reference implementation and fallback.
+Specialization contract (checked by the builder): VSA or SEA dynamics on
+a concrete serial revolute chain, Euler integrator, and the reference
+cost structure — frame-placement goal + weighted state/control
+regularizers + optional linear stiffness cost (covers
+``two_dof_vsa_boxddp``, ``two_dof_vsa_modified``, ``two_dof_sea``, and
+the talos_arm-class ``seven_dof_sea``). Chain-length generic since round
+5: the per-knot algebra unrolls over ``ndx = 4 * nl`` at trace time (the
+lanes.* recursions loop over the baked topology; the n x n mass solve is
+an unrolled lane Cholesky, ops/lanes.solven), with the original 2-DoF
+adjugate/closed-form paths kept verbatim for bit-parity at ``nl == 2``.
+Big-state (ndx > 8) kernels run under a raised Mosaic scoped-VMEM budget
+(:func:`_big_state_params`). The generic XLA path remains the reference
+implementation and fallback.
 """
 from __future__ import annotations
 
@@ -36,6 +43,19 @@ NU = 4
 NL = 2
 
 
+def _big_state_params(ndx):
+    """Raised Mosaic scoped-VMEM budget for the big-state (ndx > 8)
+    kernels: the live [ndx, ndx, P, nb] per-knot intermediates plus
+    XLA's VMEM-promoted inter-kernel buffers exceed the 16 MiB default
+    (measured 20-24 MB at ndx=28); v5e has 128 MiB physical VMEM. None
+    (the default budget) for the 2-DoF flagship kernels."""
+    from jax.experimental.pallas import tpu as _pltpu
+
+    if ndx <= 8:
+        return None
+    return _pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 class VSASpec(NamedTuple):
     """Concrete (numpy) snapshot of the workload the kernels specialize on."""
 
@@ -56,9 +76,15 @@ class VSASpec(NamedTuple):
     variant: str = "vsa"      # "vsa" (stiffness in u, nu=4) | "sea" (fixed K, nu=2)
     K: np.ndarray = None      # [2,2] spring matrix (SEA)
     nu: int = 4
+    nl: int = NL              # chain DoF; the kernels are dimension-generic
+                              # (ndx = 4*nl: q_l, q_m, v_l, v_m)
     # terminal target when it differs from the (per-knot) running target
     term_target_rot_inv: np.ndarray = None   # [3,3]
     term_target_pos: np.ndarray = None       # [3]
+
+    @property
+    def ndx(self) -> int:
+        return 4 * self.nl
 
     @property
     def per_knot_target(self) -> bool:
@@ -122,18 +148,17 @@ def extract_vsa_spec(problem, bounds) -> VSASpec:
     running = problem.running
     diff = running.differential
     terminal_diff = problem.terminal.differential
+    robot = (problem.knot_model(0) if per_knot else running).differential.state.robot
+    nl = int(robot.nv)       # kernels are chain-length generic (round 5)
     if isinstance(diff, DifferentialVSADynamics):
-        variant, nu, K = "vsa", 4, None
+        variant, nu, K = "vsa", 2 * nl, None
     elif isinstance(diff, DifferentialSEADynamics):
         from ..models.actuation import ASRActuation
         if not isinstance(diff.actuation, ASRActuation):
             raise TypeError("SEA fast path requires ASRActuation")
-        variant, nu, K = "sea", 2, const(diff.K, "spring matrix")
+        variant, nu, K = "sea", nl, const(diff.K, "spring matrix")
     else:
         raise TypeError("fast path requires VSA or SEA dynamics")
-    robot = (problem.knot_model(0) if per_knot else running).differential.state.robot
-    if robot.nv != NL:
-        raise TypeError("fast path requires a 2-DoF chain")
 
     def act_weights(cost, nr):
         if isinstance(cost.activation, ActivationModelQuad):
@@ -143,10 +168,10 @@ def extract_vsa_spec(problem, bounds) -> VSASpec:
         raise TypeError(f"unsupported activation {type(cost.activation)}")
 
     w_goal = w_goal_term = 0.0
-    xw = np.zeros(NDX)
+    xw = np.zeros(4 * nl)
     uw = np.zeros(nu)
     stiff_w = 0.0
-    stiff_ref = np.zeros(NL)
+    stiff_ref = np.zeros(nl)
     frame_id = None
     target_rot = np.eye(3)
     target_pos = np.zeros(3)
@@ -176,7 +201,7 @@ def extract_vsa_spec(problem, bounds) -> VSASpec:
         elif isinstance(r, ResidualModelState):
             if not np.allclose(const(r.xref, "state reference"), 0.0):
                 raise TypeError("fast path assumes zero state reference")
-            xw += w * act_weights(c, NDX)
+            xw += w * act_weights(c, 4 * nl)
         elif isinstance(r, ResidualModelControl):
             uw += w * act_weights(c, nu)
         else:
@@ -227,6 +252,7 @@ def extract_vsa_spec(problem, bounds) -> VSASpec:
         variant=variant,
         K=K,
         nu=nu,
+        nl=nl,
         term_target_rot_inv=None if term_rot is None else term_rot.T,
         term_target_pos=term_pos,
     )
@@ -236,29 +262,41 @@ def extract_vsa_spec(problem, bounds) -> VSASpec:
 # shared lane-level pieces
 # ---------------------------------------------------------------------------
 
-def _dynamics_lanes(spec: VSASpec, x, u):
-    """Soft-arm accelerations: x list of 8 lanes, u list of nu lanes -> 4 lanes.
+def _dot_terms(terms):
+    """Left-to-right sum without a leading zero — preserves the exact
+    accumulation order (and bits) of the old hand-unrolled 2-DoF code."""
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
 
-    VSA: u = [tau_m(2), k(2)], K = diag(k). SEA: u = tau_m(2), K constant."""
-    q_l = [x[0], x[1]]
-    q_m = [x[2], x[3]]
-    v_l = [x[4], x[5]]
-    tau_m = [u[0], u[1]]
+
+def _dynamics_lanes(spec: VSASpec, x, u):
+    """Soft-arm accelerations: x list of 4*nl lanes, u list of nu lanes ->
+    2*nl lanes. VSA: u = [tau_m(nl), k(nl)], K = diag(k). SEA: u =
+    tau_m(nl), K constant. Chain-length generic (the lanes.* recursions
+    loop over the baked topology)."""
+    nl = spec.nl
+    q_l = list(x[:nl])
+    q_m = list(x[nl:2 * nl])
+    v_l = list(x[2 * nl:3 * nl])
+    tau_m = list(u[:nl])
     if spec.variant == "vsa":
-        kd = [u[2], u[3]]
-        tau_c = [kd[i] * (q_l[i] - q_m[i]) for i in range(NL)]
+        kd = list(u[nl:2 * nl])
+        tau_c = [kd[i] * (q_l[i] - q_m[i]) for i in range(nl)]
     else:
         Kc = spec.K
-        d = [q_l[i] - q_m[i] for i in range(NL)]
-        tau_c = [float(Kc[i][0]) * d[0] + float(Kc[i][1]) * d[1] for i in range(NL)]
+        d = [q_l[i] - q_m[i] for i in range(nl)]
+        tau_c = [_dot_terms([float(Kc[i][j]) * d[j] for j in range(nl)])
+                 for i in range(nl)]
 
     M, nle = lanes.mass_nle_lanes(spec.rc, q_l, v_l)
-    rhs = [-nle[i] - tau_c[i] for i in range(NL)]
-    a_l = list(lanes.solve2(M, rhs))
+    rhs = [-nle[i] - tau_c[i] for i in range(nl)]
+    a_l = list(lanes.solven(M, rhs))
     binv = tuple(tuple(float(b) for b in row) for row in spec.binv)
     a_m = [
-        binv[i][0] * (tau_m[0] + tau_c[0]) + binv[i][1] * (tau_m[1] + tau_c[1])
-        for i in range(NL)
+        _dot_terms([binv[i][j] * (tau_m[j] + tau_c[j]) for j in range(nl)])
+        for i in range(nl)
     ]
     return a_l + a_m
 
@@ -296,17 +334,17 @@ def _goal_cost_lanes(spec: VSASpec, q_l, tgt=None, terminal=False):
 
 
 def _running_cost_lanes(spec: VSASpec, x, u, tgt=None):
-    c_goal, _ = _goal_cost_lanes(spec, [x[0], x[1]], tgt)
+    c_goal, _ = _goal_cost_lanes(spec, list(x[:spec.nl]), tgt)
     c = spec.w_goal * c_goal
-    for i in range(NDX):
+    for i in range(spec.ndx):
         if spec.xw[i] != 0.0:
             c = c + 0.5 * float(spec.xw[i]) * x[i] * x[i]
     for i in range(spec.nu):
         if spec.uw[i] != 0.0:
             c = c + 0.5 * float(spec.uw[i]) * u[i] * u[i]
     if spec.stiff_w != 0.0:
-        for i in range(NL):
-            c = c + float(spec.stiff_w) * (u[NL + i] - float(spec.stiff_ref[i]))
+        for i in range(spec.nl):
+            c = c + float(spec.stiff_w) * (u[spec.nl + i] - float(spec.stiff_ref[i]))
     return c
 
 
@@ -332,6 +370,7 @@ def _rollout_trial_step(spec, t, trow, alpha, gscale, x, xr, kt, Kt, ut,
     arrive as [Tp, nu] SMEM tables; shared boxes as [nu, P, nb] lanes."""
     dt = spec.dt
     nu = spec.nu
+    NDX = spec.ndx
     dx = [x[i] - xr[i] for i in range(NDX)]
     u = []
     for j in range(nu):
@@ -360,9 +399,10 @@ def _rollout_trial_step(spec, t, trow, alpha, gscale, x, xr, kt, Kt, ut,
     return x_new, u, cost_t
 
 
-def _rollout_x0t(x0_ref, fsa_ref, gscale, use_gaps):
+def _rollout_x0t(spec, x0_ref, fsa_ref, gscale, use_gaps):
     if use_gaps:
-        return jnp.stack([x0_ref[i] + fsa_ref[0][i] * gscale for i in range(NDX)])
+        return jnp.stack([x0_ref[i] + fsa_ref[0][i] * gscale
+                          for i in range(spec.ndx)])
     return x0_ref[:]
 
 
@@ -393,13 +433,14 @@ def _rollout_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
      infeas_ref, wterm_ref, tgt_ref, lb_ref, ub_ref, rest) = _unpack_rollout_refs(
         spec, use_gaps, 1, refs)
     (xs_out, us_out, x0t_out, cost_ref, x_s, cost_s) = rest
+    NDX = spec.ndx
     j = pl.program_id(1)
     alpha = alpha_ref[:]
     gscale = (alpha - 1.0) * infeas_ref[:] if use_gaps else None
 
     @pl.when(j == 0)
     def _():
-        x0t = _rollout_x0t(x0_ref, fsa_ref, gscale, use_gaps)
+        x0t = _rollout_x0t(spec, x0_ref, fsa_ref, gscale, use_gaps)
         x_s[:] = x0t
         x0t_out[:] = x0t
         cost_s[:] = jnp.zeros_like(cost_s)
@@ -427,7 +468,7 @@ def _rollout_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
     @pl.when(j == NC - 1)
     def _():
         xT = [x_s[i] for i in range(NDX)]
-        c_goal_T, _ = _goal_cost_lanes(spec, [xT[0], xT[1]], terminal=True)
+        c_goal_T, _ = _goal_cost_lanes(spec, xT[:spec.nl], terminal=True)
         # terminal goal weight is a runtime lane input (homotopy ramps it)
         cost_ref[:] = cost_s[:] + wterm_ref[:] * c_goal_T
 
@@ -456,6 +497,7 @@ def _rolloutn_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
     x0t_out = tail[0]
     x_scratch = tail[1:1 + n_trials]
     cost_s = tail[1 + n_trials]
+    NDX = spec.ndx
     j = pl.program_id(1)
     alphas = [a_ref[:] for a_ref in alpha_refs]
     if use_gaps:
@@ -471,7 +513,7 @@ def _rolloutn_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
     def _():
         # each trial's gap-contracted initial state (they differ by gscale)
         for i, (_, gscale, _, _, x_s) in enumerate(trials):
-            x0t = _rollout_x0t(x0_ref, fsa_ref, gscale, use_gaps)
+            x0t = _rollout_x0t(spec, x0_ref, fsa_ref, gscale, use_gaps)
             x_s[:] = x0t
             x0t_out[i] = x0t
         cost_s[:] = jnp.zeros_like(cost_s)
@@ -509,15 +551,18 @@ def _rolloutn_kernel(spec: VSASpec, T: int, Tc: int, NC: int, use_gaps: bool,
     def _():
         for idx, (_, _, _, _, x_s) in enumerate(trials):
             xT = [x_s[i] for i in range(NDX)]
-            c_goal_T, _ = _goal_cost_lanes(spec, [xT[0], xT[1]], terminal=True)
+            c_goal_T, _ = _goal_cost_lanes(spec, xT[:spec.nl], terminal=True)
             cost_refs[idx][:] = cost_s[idx] + wterm_ref[:] * c_goal_T
 
 
-def _rollout_layout(T, nb, n_trials, use_gaps, itemsize, t_chunk=20, pack=None):
-    """Chunk plan from the VMEM budget (see riccati._chunk_plan)."""
-    per_knot = 8 + 4 + 4 + 32 + n_trials * 12   # xs,us,k,K + per-trial out
+def _rollout_layout(T, nb, n_trials, use_gaps, itemsize, t_chunk=20, pack=None,
+                    ndx=NDX, nu=NU):
+    """Chunk plan from the VMEM budget (see riccati._chunk_plan);
+    dimension-generic (reduces to the measured 2-DoF plan at the
+    defaults: 8 + 4 + 4 + 32 + 12/trial)."""
+    per_knot = ndx + nu + nu + nu * ndx + n_trials * (ndx + nu)
     if use_gaps:
-        per_knot += 16                           # fs (two shifted views)
+        per_knot += 2 * ndx                      # fs (two shifted views)
     budget = 6 * 1024 * 1024
     tc_mem = max(1, budget // (per_knot * (pack or layout.PACK) * nb * itemsize))
     return layout.pick_chunks(T, min(t_chunk, tc_mem))
@@ -542,6 +587,7 @@ def _rollout_call(spec, T, nb, interpret, use_gaps, n_trials,
     the padded batch has too few rows.
     """
     nu = spec.nu
+    NDX = spec.ndx
     dtype = xs_l.dtype
     Bp = xs_l.shape[-1]
     rows, P, G = layout.pack_dims(Bp, nb)
@@ -549,7 +595,7 @@ def _rollout_call(spec, T, nb, interpret, use_gaps, n_trials,
         P *= tiles
         G //= tiles
     Tc, NC, padt = _rollout_layout(T, nb, n_trials, use_gaps, dtype.itemsize,
-                                   pack=P)
+                                   pack=P, ndx=NDX, nu=nu)
     Tp = T + padt
 
     def prep_t(x):          # pad the time axis at the END, then pack
@@ -640,6 +686,7 @@ def _rollout_call(spec, T, nb, interpret, use_gaps, n_trials,
     outs = pl.pallas_call(
         kern,
         grid=(G, NC),
+        compiler_params=_big_state_params(NDX),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_structs(out_shape, xs_l),
@@ -764,6 +811,8 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
     constant tensors fold to compile-time True; semantics are exactly the
     lane solver's old leaf-by-leaf ``isfinite`` reduction).
     """
+    NDX = spec.ndx
+    NL = spec.nl
     dtype = x_ref.dtype
     x = [x_ref[i] for i in range(NDX)]
     u = [u_ref[i] for i in range(spec.nu)]
@@ -771,25 +820,31 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
     dt = spec.dt
 
     # -- dynamics + ANALYTIC jacobians ------------------------------------
-    # Mirrors DifferentialVSADynamics.calc_diff: RNEA partials from 4 jvp
-    # seeds through rnea only, Minv/Binv blocks assembled explicitly —
+    # Mirrors DifferentialVSADynamics.calc_diff: RNEA partials from 2*nl
+    # jvp seeds through rnea only, Minv/Binv blocks assembled explicitly —
     # ~8x fewer ops than differentiating the full dynamics per seed.
-    q_l_ = [x[0], x[1]]
-    q_m_ = [x[2], x[3]]
-    v_l_ = [x[4], x[5]]
+    # The nl==2 branch keeps the original adjugate 2x2 Minv verbatim
+    # (bit-parity with the flagship kernels is test-pinned); nl>2 uses the
+    # unrolled lane Cholesky (ops/lanes.choln) factored once and applied
+    # per column.
+    q_l_ = list(x[:NL])
+    q_m_ = list(x[NL:2 * NL])
+    v_l_ = list(x[2 * NL:3 * NL])
     is_vsa = spec.variant == "vsa"
     if is_vsa:
-        kd_ = [u[2], u[3]]
+        kd_ = list(u[NL:2 * NL])
         tau_c_ = [kd_[i] * (q_l_[i] - q_m_[i]) for i in range(NL)]
     else:
         Kc = spec.K
         d_ = [q_l_[i] - q_m_[i] for i in range(NL)]
-        tau_c_ = [float(Kc[i][0]) * d_[0] + float(Kc[i][1]) * d_[1] for i in range(NL)]
+        tau_c_ = [_dot_terms([float(Kc[i][j]) * d_[j] for j in range(NL)])
+                  for i in range(NL)]
 
     M, nle = lanes.mass_nle_lanes(spec.rc, q_l_, v_l_)
-    a_l = list(lanes.solve2(M, [-nle[i] - tau_c_[i] for i in range(NL)]))
+    a_l = list(lanes.solven(M, [-nle[i] - tau_c_[i] for i in range(NL)]))
     binv = tuple(tuple(float(b) for b in row) for row in spec.binv)
-    a_m = [binv[i][0] * (u[0] + tau_c_[0]) + binv[i][1] * (u[1] + tau_c_[1]) for i in range(NL)]
+    a_m = [_dot_terms([binv[i][j] * (u[j] + tau_c_[j]) for j in range(NL)])
+           for i in range(NL)]
     a = a_l + a_m
 
     cols = None
@@ -797,12 +852,30 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
         one = jnp.ones_like(like)
         zero = jnp.zeros_like(like)
 
-        # Minv explicit (2x2)
-        det = M[0][0] * M[1][1] - M[0][1] * M[1][0]
-        idet = 1.0 / det
-        Minv = [[M[1][1] * idet, -M[0][1] * idet], [-M[1][0] * idet, M[0][0] * idet]]
+        if NL == 2:
+            # Minv explicit (2x2) — original flagship path, bit-pinned
+            det = M[0][0] * M[1][1] - M[0][1] * M[1][0]
+            idet = 1.0 / det
+            Minv = [[M[1][1] * idet, -M[0][1] * idet],
+                    [-M[1][0] * idet, M[0][0] * idet]]
 
-        # RNEA partials at (q_l, v_l, a_l): dtau_dq (2 seeds), dtau_dv (2 seeds)
+            def msolve(col):
+                return [Minv[0][0] * col[0] + Minv[0][1] * col[1],
+                        Minv[1][0] * col[0] + Minv[1][1] * col[1]]
+
+            def msolve_basis(j, s):
+                # Minv @ (e_j * s) without the zero-column multiplies
+                return [Minv[0][j] * s, Minv[1][j] * s]
+        else:
+            Lfac = lanes.choln(M)
+
+            def msolve(col):
+                return lanes.choln_solve(Lfac, list(col))
+
+            def msolve_basis(j, s):
+                return msolve([s if i == j else zero for i in range(NL)])
+
+        # RNEA partials at (q_l, v_l, a_l): dtau_dq / dtau_dv (nl seeds each)
         def rnea_q(qq):
             return tuple(lanes.rnea_lanes(spec.rc, list(qq), v_l_, a_l))
 
@@ -815,15 +888,8 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
             seed = tuple(one if i == j else zero for i in range(NL))
             _, cq = jax.jvp(rnea_q, (tuple(q_l_),), (seed,))
             _, cv = jax.jvp(rnea_v, (tuple(v_l_),), (seed,))
-            dtau_dq.append(cq)   # column j: d tau / d q_j (tuple of 2)
+            dtau_dq.append(cq)   # column j: d tau / d q_j (tuple of nl)
             dtau_dv.append(cv)
-
-        # acceleration jacobian columns, input order
-        # VSA: [q_l(2), q_m(2), v_l(2), v_m(2), tau(2), k(2)]
-        # SEA: [q_l(2), q_m(2), v_l(2), v_m(2), u(2)]
-        def mv(Minv_, col):
-            return [Minv_[0][0] * col[0] + Minv_[0][1] * col[1],
-                    Minv_[1][0] * col[0] + Minv_[1][1] * col[1]]
 
         # spring jacobian wrt q_l (dK_col[j][i] = d tau_c_i / d q_l_j)
         if is_vsa:
@@ -831,34 +897,38 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
         else:
             dK_col = [[float(spec.K[i][j]) * one for i in range(NL)] for j in range(NL)]
 
+        def binv_apply(col):
+            return [_dot_terms([binv[i][j2] * col[j2] for j2 in range(NL)])
+                    for i in range(NL)]
+
+        # acceleration jacobian columns, input order
+        # VSA: [q_l(nl), q_m(nl), v_l(nl), v_m(nl), tau(nl), k(nl)]
+        # SEA: [q_l(nl), q_m(nl), v_l(nl), v_m(nl), u(nl)]
         cols = []
         for j in range(NL):      # d a / d q_l_j: Minv(-dtau_dq_col - K e_j); Binv K e_j
-            link = mv(Minv, [-(dtau_dq[j][0]) - dK_col[j][0],
-                             -(dtau_dq[j][1]) - dK_col[j][1]])
-            mot = [binv[0][0] * dK_col[j][0] + binv[0][1] * dK_col[j][1],
-                   binv[1][0] * dK_col[j][0] + binv[1][1] * dK_col[j][1]]
+            link = msolve([-(dtau_dq[j][i]) - dK_col[j][i] for i in range(NL)])
+            mot = binv_apply(dK_col[j])
             cols.append(tuple(link + mot))
         for j in range(NL):      # d a / d q_m_j (spring sign flips)
-            link = mv(Minv, [dK_col[j][0], dK_col[j][1]])
-            mot = [-(binv[0][0] * dK_col[j][0] + binv[0][1] * dK_col[j][1]),
-                   -(binv[1][0] * dK_col[j][0] + binv[1][1] * dK_col[j][1])]
+            link = msolve(list(dK_col[j]))
+            mot = [-m for m in binv_apply(dK_col[j])]
             cols.append(tuple(link + mot))
         for j in range(NL):      # d a / d v_l_j
-            link = mv(Minv, [-dtau_dv[j][0], -dtau_dv[j][1]])
-            cols.append(tuple(link + [zero, zero]))
+            link = msolve([-dtau_dv[j][i] for i in range(NL)])
+            cols.append(tuple(link + [zero] * NL))
         for j in range(NL):      # d a / d v_m_j
-            cols.append((zero, zero, zero, zero))
+            cols.append((zero,) * (2 * NL))
         for j in range(NL):      # d a / d tau_j
-            cols.append((zero, zero, binv[0][j] * one, binv[1][j] * one))
+            cols.append(tuple([zero] * NL + [binv[i][j] * one for i in range(NL)]))
         if is_vsa:
             for j in range(NL):  # d a / d k_j
                 d = q_l_[j] - q_m_[j]
-                link = [Minv[0][j] * (-d), Minv[1][j] * (-d)]
-                mot = [binv[0][j] * d, binv[1][j] * d]
+                link = msolve_basis(j, -d)
+                mot = [binv[i][j] * d for i in range(NL)]
                 cols.append(tuple(link + mot))
 
     # -- costs ------------------------------------------------------------
-    q_l = [x[0], x[1]]
+    q_l = list(x[:NL])
     # grid dim 0 is the knot; the SMEM table holds all T rows
     tgt = None if tgt_ref is None else _tgt_at(tgt_ref, pl.program_id(0))
     c_goal, r6 = _goal_cost_lanes(spec, q_l, tgt, terminal=terminal)
@@ -879,16 +949,19 @@ def _linearize_kernel(spec: VSASpec, terminal: bool,
                 cost = cost + float(spec.stiff_w) * (u[NL + i] - float(spec.stiff_ref[i]))
     cost_ref[:] = cost
 
-    # goal residual jacobian wrt q_l via jvp of the residual map (2 seeds)
+    # goal residual jacobian wrt q_l via jvp of the residual map (nl seeds)
     def res_fn(qq):
         _, r = _goal_cost_lanes(spec, list(qq), tgt, terminal=terminal)
         return r
 
     one = jnp.ones_like(like)
     zero = jnp.zeros_like(like)
-    _, Jq0 = jax.jvp(res_fn, ((q_l[0], q_l[1]),), ((one, zero),))
-    _, Jq1 = jax.jvp(res_fn, ((q_l[0], q_l[1]),), ((zero, one),))
-    J = (Jq0, Jq1)                    # J[c][k]: d r_k / d q_c
+    J = []
+    for j in range(NL):
+        seed = tuple(one if i == j else zero for i in range(NL))
+        _, Jqj = jax.jvp(res_fn, (tuple(q_l),), (seed,))
+        J.append(Jqj)
+    J = tuple(J)                      # J[c][k]: d r_k / d q_c
 
     # Lx rows: goal contributes only to q_l entries (reference semantics)
     Lx_rows = []
@@ -1019,6 +1092,7 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
     ``ok_l`` is the in-kernel finiteness AND over all run+term derivative
     tensors (the lane solver's linearization health check)."""
     NU = spec.nu
+    NDX = spec.ndx
 
     def linearize_lanes(xs_l, us_l, wterm_l):
         dtype = xs_l.dtype
@@ -1085,6 +1159,7 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
         outs = pl.pallas_call(
             run_kernel(spec, False, spec.per_knot_target),
             grid=(T, G),
+            compiler_params=_big_state_params(NDX),
             in_specs=run_in_specs,
             out_specs=out_specs,
             out_shape=shapes(T),
@@ -1097,6 +1172,7 @@ def build_linearize(spec: VSASpec, T: int, nb: int = 128, interpret: bool = Fals
         term_outs = pl.pallas_call(
             run_kernel(spec, True, False),
             grid=(1, G),
+            compiler_params=_big_state_params(NDX),
             in_specs=[io_spec(NDX), io_spec(NU), wterm_spec],
             out_specs=out_specs,
             out_shape=shapes(1),

@@ -32,6 +32,9 @@ def make_batched_solver(
     globalization: Optional[str] = None,
     scales=None,
     ub_stages=None,
+    rescue_scales=None,
+    rescue_ub_stages=None,
+    rescue_size: int = 0,
 ):
     """Build ``solve_batch(x0s) -> SolveResult`` vmapped over initial states.
 
@@ -51,9 +54,14 @@ def make_batched_solver(
 
         if globalization == "homotopy":
             lane = build_lane_homotopy(problem, settings, bounds, use_gaps=use_gaps,
-                                       scales=scales, ub_stages=ub_stages)
+                                       scales=scales, ub_stages=ub_stages,
+                                       keep_log=keep_log,
+                                       rescue_scales=rescue_scales,
+                                       rescue_ub_stages=rescue_ub_stages,
+                                       rescue_size=rescue_size)
         else:
-            lane = build_lane_solver(problem, settings, bounds, use_gaps=use_gaps)
+            lane = build_lane_solver(problem, settings, bounds, use_gaps=use_gaps,
+                                     keep_log=keep_log)
         if not warm_start:
             return lane
 

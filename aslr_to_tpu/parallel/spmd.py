@@ -73,6 +73,7 @@ def shard_map_solve(
     use_fast_path=False,
     mesh=None,
     axis: str = BATCH_AXIS,
+    **solver_kwargs,
 ):
     """Solve a scenario batch with an explicit shard_map over ``mesh``.
 
@@ -80,10 +81,12 @@ def shard_map_solve(
     :class:`SolveResult` and ``global_stats = (n_converged, mean_cost)``
     is psum-reduced across the mesh — identical on every shard, the
     pattern multi-host runs use for global convergence reporting.
+    ``solver_kwargs`` pass through to :func:`..batch.make_batched_solver`
+    (globalization/scales/ub_stages for the sharded lane homotopy, etc.).
     """
     inner = make_batched_solver(problem, settings, use_gaps=use_gaps,
                                 bounds=bounds, warm_start=warm_start,
-                                use_fast_path=use_fast_path)
+                                use_fast_path=use_fast_path, **solver_kwargs)
 
     def shard_fn(x0_shard):
         res = inner(x0_shard)

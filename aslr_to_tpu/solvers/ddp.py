@@ -104,6 +104,18 @@ class SolverSettings:
     # lanes the walk would eventually flag — only earlier (convergence
     # stats verified unchanged on the bench workloads, round 5).
     doomed_reject_iters: int = 0
+    # Regularization factor applied when the line search rejected the
+    # ENTIRE alpha ladder (vs reg_factor for ordinary small-step
+    # increases). Crocoddyl bumps x10 regardless; a full-ladder rejection
+    # is much stronger evidence that reg is decades too low, and under
+    # SPMD batching every decade of the walk costs the whole batch a full
+    # retry + ladder iteration. x100/x1000 reaches a workable reg (or
+    # reg_max and an honest diverged flag) in 5-6 rejections instead of
+    # 18 while still giving the lane a genuine acceptance attempt at each
+    # sampled level — unlike doomed_reject_iters it never retires a lane
+    # the walk would have saved at SOME reg (up to the coarser sampling
+    # of the ladder). Default = reg_factor (exactly Crocoddyl's walk).
+    reg_reject_factor: float = 10.0
     # Route the Box backward pass through the fused Pallas Riccati kernel
     # (aslr_to_tpu/pallas/riccati.py) when the solve is vmapped. Identical
     # math; one kernel launch instead of ~T x 500 HLO dispatches.
@@ -834,7 +846,11 @@ def _solve_impl(problem, xs_init, us_init, settings, use_gaps, bounds, fast) -> 
         # -- regularization schedule --------------------------------------
         eff_step = jnp.where(any_accept, alpha_sel, alphas[-1])
         reg_dec = jnp.maximum(reg / s.reg_factor, s.reg_min)
-        reg_inc = jnp.minimum(reg * s.reg_factor, s.reg_max)
+        # full-ladder rejections escalate by reg_reject_factor (see
+        # SolverSettings); bw-failed scenarios report any_accept=True and
+        # take the ordinary x reg_factor path
+        inc_f = jnp.where(any_accept, s.reg_factor, s.reg_reject_factor)
+        reg_inc = jnp.minimum(reg * inc_f, s.reg_max)
         do_inc = eff_step <= s.th_stepinc
         do_dec = (~do_inc) & (eff_step > s.th_stepdec)
         reg_new = jnp.where(do_inc, reg_inc, jnp.where(do_dec, reg_dec, reg))

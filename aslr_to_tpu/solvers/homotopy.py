@@ -73,6 +73,34 @@ def stiffness_continuation(problem: ShootingProblem, bounds: Optional[Bounds],
     return scales, ub_stages
 
 
+def rescue_continuation(problem: ShootingProblem, bounds: Optional[Bounds],
+                        k_cap: float = 1.0):
+    """``(scales, ub_stages)`` for the diverged-lane RESCUE pass.
+
+    A tighter, longer schedule than :func:`stiffness_continuation` for the
+    lanes the production schedule fails to converge (the quality metric's
+    ~8% diverged tail, docs/BENCH.md): a gentler terminal-weight ramp
+    (7 stages vs 5) under a harder stiffness cap (k_cap=1, well inside
+    the explicit-Euler stability region — the default schedule's cap is
+    3), releasing the reference's full box only in the final stage.
+    Intended for a small gathered sub-batch, so the extra stages cost
+    ~(R/B x 7/5) of the main pass (see
+    pallas/lane_solver.build_lane_homotopy ``rescue_size``).
+    """
+    from ..models.dynamics import DifferentialVSADynamics
+
+    scales = (1e-4, 1e-3, 1e-2, 5e-2, 2e-1, 1.0, 1.0)
+    if bounds is None or not isinstance(problem.running.differential,
+                                        DifferentialVSADynamics):
+        return scales, None
+    nk = problem.nu // 2
+    cap = jnp.minimum(bounds.ub, jnp.concatenate([
+        jnp.full((nk,), jnp.inf, bounds.ub.dtype),
+        jnp.full((nk,), k_cap, bounds.ub.dtype)]))
+    ub_stages = jnp.stack([cap] * (len(scales) - 1) + [bounds.ub])
+    return scales, ub_stages
+
+
 def homotopy_solve(
     problem: ShootingProblem,
     xs_init=None,

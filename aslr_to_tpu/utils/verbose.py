@@ -28,7 +28,7 @@ def format_iteration_table(log, iterations=None) -> str:
     table. ``iterations`` truncates to the executed iteration count
     (``SolveResult.iterations``); rows whose cost is NaN (never executed)
     are skipped either way. Returns '' for an empty log (the lane solver
-    returns logless results — use the standard path for logging runs)."""
+    records one only when built with ``keep_log=True``)."""
     costs = np.asarray(log.costs)
     if costs.ndim != 1 or costs.size == 0:
         return ""

@@ -127,16 +127,76 @@ def two_dof_sea(T: int = 100, dt: float = 1e-2, dtype=jnp.float64,
         maxiter=100, th_stop=1e-7, warm_start=True, ee_frame=ee, target=target)
 
 
+def three_dof_sea(T: int = 100, dt: float = 1e-2, dtype=jnp.float64) -> Workload:
+    """3-DoF SEA arm reach — the smallest non-2-DoF chain.
+
+    Exists to pin the dimension-generic lane kernels (round 5) against
+    the generic path at a chain length whose interpret-mode kernel
+    bodies still compile in seconds (the 7-DoF bodies take minutes on
+    CPU); the hardware target is :func:`seven_dof_sea`."""
+    import numpy as np
+
+    from ..ops.rigid_body import frame_placement
+
+    eye = np.eye(3)
+    model = robots.make_chain(
+        name="three_dof_sea",
+        joint_pos=[[0.0, 0.0, 0.12], [0.02, 0.0, 0.1], [0.0, 0.01, 0.11]],
+        joint_rot=[eye, robots._rot_x(0.1), robots._rot_y(-0.1)],
+        axes=[[0.0, 0.0, 1.0], [0.0, 1.0, 0.0], [1.0, 0.0, 0.0]],
+        masses=[1.5, 1.0, 0.6],
+        coms=[[0.0, 0.01, 0.05], [0.04, 0.0, 0.04], [0.0, 0.0, 0.05]],
+        inertias=[[2e-3, 2e-3, 1e-3], [1.5e-3, 1.5e-3, 8e-4],
+                  [8e-4, 8e-4, 4e-4]],
+        frames=[("gripper", 2, eye, [0.0, 0.0, 0.1])],
+        dtype=dtype,
+    ).with_gravity([0.0, 0.0, -9.81])
+    state = StateASR(model)
+    act = ASRActuation(state)
+    nu = act.nu
+    ee = model.frame_id("gripper")
+    q_tgt = jnp.asarray([0.4, -0.5, 0.3], dtype=dtype)
+    tgt = frame_placement(model, q_tgt, ee)
+
+    frame_res = ResidualModelFramePlacementASR(
+        state, ee, SE3(tgt.rot, tgt.trans), nu)
+    goal = CostModelResidual(state, ActivationModelQuad(), frame_res)
+    nq = 3
+    xact = ActivationModelWeightedQuad(jnp.asarray(
+        [1.0] * nq + [0.0] * nq + [1.0] * nq + [0.0] * nq, dtype=dtype))
+    xreg = CostModelResidual(state, xact, ResidualModelState(state, state.zero(), nu))
+    ureg = CostModelResidual(state, ActivationModelQuad(), ResidualModelControl(state, nu))
+
+    running_costs = (
+        CostModelSum(state, nu)
+        .add_cost("gripperPose", goal, 1e-1)
+        .add_cost("xReg", xreg, 1e-3)
+        .add_cost("uReg", ureg, 1e-2)
+    )
+    terminal_costs = CostModelSum(state, nu).add_cost("gripperPose", goal, 1e4)
+
+    K = 1.0 * jnp.eye(nq, dtype=dtype)
+    B = 0.01 * jnp.eye(nq, dtype=dtype)
+    running = IntegratedActionEuler(DifferentialSEADynamics(state, act, running_costs, K, B), dt)
+    terminal = IntegratedActionEuler(DifferentialSEADynamics(state, act, terminal_costs, K, B), 0.0)
+
+    x0 = jnp.zeros(state.nx, dtype=dtype)
+    problem = ShootingProblem(x0=x0, running=running, terminal=terminal, T=T)
+    return Workload(
+        name="three_dof_sea", problem=problem, bounds=None, solver="fddp",
+        maxiter=100, th_stop=1e-7, warm_start=True, ee_frame=ee,
+        target=tgt.trans)
+
+
 def seven_dof_sea(T: int = 100, dt: float = 1e-2, dtype=jnp.float64) -> Workload:
     """7-DoF SEA arm reach — the reference's ``talos_arm`` generality.
 
     The reference's own test-suite runs SEA dynamics on the 7-DoF
     ``talos_arm`` (``unittest/test_asr_free_fwddyn.py:51``); this preset
     is the solve-level equivalent on the :func:`..models.robots.seven_dof_arm`
-    stand-in (nx=28, nu=7). The lane fast path covers only the 2-DoF
-    family (``pallas/vsa_kernels.extract_vsa_spec`` rejects with a named
-    reason) — this workload exercises and benchmarks the GENERIC path's
-    dimension generality (docs/BENCH.md round-4 note)."""
+    stand-in (nx=28, nu=7). Since round 5 the lane fast path covers it
+    too (dimension-generic kernels, ndx=28 — 1563 solves/s at B=1024 vs
+    the generic path's 16, scripts/bench_7dof.py / docs/BENCH.md)."""
     from ..ops.rigid_body import frame_placement
 
     model = robots.seven_dof_arm(dtype=dtype).with_gravity([0.0, 0.0, -9.81])

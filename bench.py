@@ -49,6 +49,13 @@ QUALITY = os.environ.get("BENCH_QUALITY", "1") == "1"
 # BoxQP active-set warm start: QP iterations after the first solver
 # iteration (0 = cold 6-iteration QPs; see SolverSettings.boxqp_warm_iters)
 QP_WARM = _env_int("BENCH_QP_WARM", "2")
+# diverged-lane rescue pass for the quality metric (0 = off): up to this
+# many lanes the staged homotopy failed are re-solved under the tighter
+# rescue_continuation schedule inside the same timed program. Measured
+# (scripts/diag_rescue.py, B=4096): diverged 7.5% -> 1.1%, median cost
+# 624 -> 599 (better than the f64 staged 628), at -22% quality
+# throughput — the production trade, honestly accounted.
+RESCUE = _env_int("BENCH_RESCUE", "512")
 BASELINE_SOLVES_PER_S = 1000.0
 
 BUDGET_S = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
@@ -199,12 +206,18 @@ def main():
             # (solvers/homotopy.stiffness_continuation): without it the
             # staged solve fights the full stiffness box from stage one and
             # the median cost degrades 628 -> ~850 (docs/BENCH.md)
-            from aslr_to_tpu.solvers.homotopy import stiffness_continuation
+            from aslr_to_tpu.solvers.homotopy import (rescue_continuation,
+                                                      stiffness_continuation)
             hscales, hub = stiffness_continuation(w.problem, bounds)
+            rscales, rub = (rescue_continuation(w.problem, bounds)
+                            if RESCUE else (None, None))
             hfn = make_batched_solver(w.problem, settings, use_gaps=use_gaps,
                                       bounds=bounds, use_fast_path="lanes",
                                       globalization="homotopy",
-                                      scales=hscales, ub_stages=hub)
+                                      scales=hscales, ub_stages=hub,
+                                      rescue_scales=rscales,
+                                      rescue_ub_stages=rub,
+                                      rescue_size=RESCUE)
             rate, res = _time_solves(hfn, x0s, REPS, dtype)
             s3 = convergence_summary(res)
             record["quality_solves_per_s"] = round(rate, 2)

@@ -1,15 +1,19 @@
 #!/usr/bin/env python
-"""Bench the 7-DoF SEA reach on the GENERIC path (real TPU).
+"""Bench the 7-DoF SEA reach (real TPU): lane fast path vs generic.
 
-The lane fast path covers the 2-DoF family only (a deliberate scoping —
-``pallas/vsa_kernels.py`` hardcodes NDX=8); the reference's own tests
-exercise SEA dynamics on the 7-DoF ``talos_arm``
-(``unittest/test_asr_free_fwddyn.py:51``). This script records what the
-dimension-general XLA path costs on the :func:`workloads.presets.seven_dof_sea`
-workload and prints the lane path's named rejection reason (it must fall
-back loudly, not silently).
+Round 4 recorded the dimension-general XLA path at 16 solves/s and the
+lane path rejecting with 'fast path requires a 2-DoF chain'. Round 5
+generalized the whole kernel family (linearize / FDDP backward /
+rollout) to arbitrary chain lengths — state components are individual
+lane planes, the per-knot algebra unrolls over ndx=4*nl at trace time —
+so the reference's talos_arm-class workload
+(``/root/reference/unittest/test_asr_free_fwddyn.py:51`` runs SEA
+dynamics at 7-DoF) now runs on the fused kernels. Big-state batches are
+capped at 512 lanes/call (VMEM chunking, pallas/lane_solver.py); this
+script records both paths at the same config.
 
-Usage: python scripts/bench_7dof.py  (knobs: B, T, MAXITER, REPS env)
+Usage: python scripts/bench_7dof.py  (knobs: B, T, MAXITER, REPS,
+GENERIC=0 to skip the slow generic-path baseline)
 """
 import os
 import sys
@@ -21,6 +25,7 @@ B = int(os.environ.get("B", "512"))
 T = int(os.environ.get("T", "100"))
 MAXITER = int(os.environ.get("MAXITER", "20"))
 REPS = int(os.environ.get("REPS", "4"))
+RUN_GENERIC = os.environ.get("GENERIC", "1") == "1"
 
 
 def main():
@@ -39,33 +44,43 @@ def main():
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     w = seven_dof_sea(T=T, dtype=dtype)
 
-    ok, reason = supports_fast_path(w.problem, w.bounds)
-    assert not ok, "7-DoF unexpectedly accepted by the lane spec extractor"
-    print(f"lane path rejects seven_dof_sea (named reason): {reason!r}", flush=True)
+    ok, reason = supports_fast_path(w.problem, None)
+    print(f"lane path accepts seven_dof_sea: {ok} {reason!r}", flush=True)
 
     settings = SolverSettings(maxiter=MAXITER, th_stop=1e-5)
-    fn = make_batched_solver(w.problem, settings, use_gaps=True, bounds=None,
-                             warm_start=True)
     nx = w.problem.state.nx
     x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (B, nx), dtype=dtype)
     x0s_all = [x0s + jnp.asarray(1e-4 * (i + 1), dtype=dtype) for i in range(REPS)]
     jax.block_until_ready(x0s_all)
 
-    t0 = time.perf_counter()
-    out = fn(x0s)
-    np.asarray(out.cost)
-    print(f"compile+first solve: {time.perf_counter() - t0:.0f}s", flush=True)
-    rates = []
-    for _ in range(3):
+    def run(label, fn):
         t0 = time.perf_counter()
-        outs = [fn(x) for x in x0s_all]
-        for o in outs:
-            np.asarray(o.cost)
-        rates.append(B * REPS / (time.perf_counter() - t0))
-    summ = convergence_summary(outs[-1])
-    print(f"generic 7-DoF SEA FDDP (B={B}, T={T}, maxiter={MAXITER}): "
-          f"{['%.0f' % r for r in rates]} solves/s (best {max(rates):.0f}); "
-          f"convergence {summ}", flush=True)
+        out = fn(x0s)
+        np.asarray(out.cost)
+        print(f"{label}: compile+first solve {time.perf_counter() - t0:.0f}s",
+              flush=True)
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [fn(x) for x in x0s_all]
+            for o in outs:
+                np.asarray(o.cost)
+            rates.append(B * REPS / (time.perf_counter() - t0))
+        summ = convergence_summary(outs[-1])
+        print(f"{label} 7-DoF SEA FDDP (B={B}, T={T}, maxiter={MAXITER}): "
+              f"{['%.0f' % r for r in rates]} solves/s (best {max(rates):.0f}); "
+              f"convergence {summ}", flush=True)
+        return max(rates)
+
+    lane_fn = make_batched_solver(w.problem, settings, use_gaps=True, bounds=None,
+                                  warm_start=True, use_fast_path="lanes")
+    lane_rate = run("lane", lane_fn)
+
+    if RUN_GENERIC:
+        gen_fn = make_batched_solver(w.problem, settings, use_gaps=True, bounds=None,
+                                     warm_start=True)
+        gen_rate = run("generic", gen_fn)
+        print(f"lane/generic speedup: {lane_rate / gen_rate:.1f}x", flush=True)
 
 
 if __name__ == "__main__":

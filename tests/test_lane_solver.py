@@ -323,3 +323,80 @@ def test_lane_doomed_retirement_matches_reference():
     retired = np.asarray(ref.diverged) & (np.asarray(ref.iterations) < 10)
     assert bool(np.any(retired)), "fixture no longer triggers retirement"
     _check(ref, lane)
+
+
+def test_lane_solver_keep_log_matches_reference():
+    """keep_log=True: the lane solver's per-iteration SolveLog series must
+    match vmap(solve)'s bit-for-bit, including the NaN rows past each
+    lane's termination (staggered-finish fixture)."""
+    w = two_dof_vsa_boxddp(T=10)
+    x0s = jnp.concatenate([
+        0.02 * jax.random.normal(jax.random.PRNGKey(2), (3, 8)),
+        0.3 * jax.random.normal(jax.random.PRNGKey(3), (2, 8)),
+    ])
+    st = SolverSettings(maxiter=18, th_stop=23.5)
+    ref = make_batched_solver(w.problem, st, use_gaps=False, bounds=w.bounds,
+                              keep_log=True)(x0s)
+    lane = make_batched_solver(w.problem, st, use_gaps=False, bounds=w.bounds,
+                               keep_log=True, use_fast_path="lanes")(x0s)
+    _check(ref, lane)
+    assert np.asarray(lane.log.costs).shape == (5, 18)
+    assert len(set(np.asarray(lane.iterations).tolist())) > 1
+    # schedule series are exact; value series match at the same
+    # tolerances as _check (the fused kernels accumulate sums in a
+    # different order than the generic path — final-ulp diffs, the
+    # established parity bar), with identical NaN (never-ran) patterns
+    for name in ref.log._fields:
+        a = np.asarray(getattr(ref.log, name))
+        b = np.asarray(getattr(lane.log, name))
+        assert np.array_equal(np.isnan(a), np.isnan(b)), name
+        if name in ("regs", "steps"):
+            assert np.array_equal(a, b, equal_nan=True), name
+        else:
+            assert np.allclose(a, b, rtol=1e-6, atol=1e-9, equal_nan=True), name
+
+
+def test_lane_reg_reject_factor_matches_reference():
+    """Steep full-ladder-rejection escalation (reg_reject_factor) must
+    match vmap(solve) bit-for-bit on a fixture with genuine full-ladder
+    rejection streaks (the lanes reach reg_max decades sooner)."""
+    w = two_dof_vsa_boxddp(T=12)
+    x0s = 1.2 * jax.random.normal(jax.random.PRNGKey(2), (6, 8))
+    st = SolverSettings(maxiter=10, th_stop=1e-7, reg_reject_factor=1000.0)
+    ref = make_batched_solver(w.problem, st, use_gaps=False, bounds=w.bounds)(x0s)
+    lane = make_batched_solver(w.problem, st, use_gaps=False, bounds=w.bounds,
+                               use_fast_path="lanes")(x0s)
+    # reg 100 from reg_init=1e-9 in <= 10 iterations requires 11 x10
+    # increases — impossible without the steep factor engaging
+    assert bool(np.any(np.asarray(ref.reg) >= 100.0)), \
+        "fixture no longer exercises the steep escalation"
+    _check(ref, lane)
+
+
+def test_lane_solver_three_dof_sea_matches_reference():
+    """Dimension-generic lane kernels (round 5): the 3-DoF SEA chain —
+    ndx=12, nu=3, the smallest non-flagship chain — must match
+    vmap(solve) element-for-element through the full FDDP loop
+    (linearize + gap-aware backward + gap-contracting rollouts at
+    trace-time-unrolled nl=3 algebra). The 7-DoF target runs the same
+    code paths (scripts/bench_7dof.py measures it on hardware; its
+    interpret-mode kernel bodies take minutes to compile on CPU, hence
+    the 3-DoF pin)."""
+    from aslr_to_tpu.workloads.presets import three_dof_sea
+
+    w = three_dof_sea(T=8)
+    st = SolverSettings(maxiter=5, th_stop=1e-9)
+    x0s = 0.1 * jax.random.normal(jax.random.PRNGKey(11), (4, 12))
+    ref = make_batched_solver(w.problem, st, use_gaps=True, bounds=None)(x0s)
+    lane = make_batched_solver(w.problem, st, use_gaps=True, bounds=None,
+                               use_fast_path="lanes")(x0s)
+    # the n-DoF mass solve is a different (Cholesky) factorization than
+    # the generic path's LAPACK solve, so parity is tight-tolerance
+    # rather than bit-exact (unlike the 2-DoF adjugate path)
+    assert np.allclose(ref.cost, lane.cost, rtol=1e-10)
+    assert np.allclose(ref.us, lane.us, atol=1e-10)
+    assert np.allclose(ref.xs, lane.xs, atol=1e-10)
+    assert np.array_equal(np.asarray(ref.iterations), np.asarray(lane.iterations))
+    assert np.array_equal(np.asarray(ref.converged), np.asarray(lane.converged))
+    assert np.array_equal(np.asarray(ref.diverged), np.asarray(lane.diverged))
+    assert np.allclose(ref.stop, lane.stop, rtol=1e-8)

@@ -190,15 +190,19 @@ def test_vsa_boxddp_descends_and_respects_bounds():
 
 def test_seven_dof_sea_generic_path_descends():
     """7-DoF SEA reach (the reference's talos_arm generality,
-    unittest/test_asr_free_fwddyn.py:51) solves on the generic path; the
-    lane fast path must reject it with a NAMED reason, never silently."""
+    unittest/test_asr_free_fwddyn.py:51) solves on the generic path; since
+    round 5 the dimension-generic lane kernels also ACCEPT it (parity is
+    pinned at 3-DoF where interpret-mode compiles stay fast,
+    tests/test_lane_solver.py; hardware numbers: scripts/bench_7dof.py)."""
     from aslr_to_tpu.parallel.batch import make_batched_solver
-    from aslr_to_tpu.pallas.vsa_kernels import supports_fast_path
+    from aslr_to_tpu.pallas.vsa_kernels import extract_vsa_spec, supports_fast_path
     from aslr_to_tpu.workloads.presets import seven_dof_sea
 
     w = seven_dof_sea(T=10)
     ok, reason = supports_fast_path(w.problem, w.bounds)
-    assert not ok and "2-DoF" in reason
+    assert ok, reason
+    spec = extract_vsa_spec(w.problem, w.bounds)
+    assert (spec.nl, spec.ndx, spec.nu) == (7, 28, 7)
     x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(3), (2, w.problem.state.nx))
     out = make_batched_solver(
         w.problem, SolverSettings(maxiter=8, th_stop=1e-7),
