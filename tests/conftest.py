@@ -32,7 +32,6 @@ _SLOW_FILES = {
     "test_homotopy.py",
     "test_northstar.py",
     "test_multihost.py",
-    "test_golden.py",
 }
 
 

@@ -400,3 +400,23 @@ def test_lane_solver_three_dof_sea_matches_reference():
     assert np.array_equal(np.asarray(ref.converged), np.asarray(lane.converged))
     assert np.array_equal(np.asarray(ref.diverged), np.asarray(lane.diverged))
     assert np.allclose(ref.stop, lane.stop, rtol=1e-8)
+
+
+def test_lane_speculative_backward_bit_identical():
+    """The dual-reg speculative retry (two pred-gated bw_steps per loop
+    round) must be bit-identical to the sequential retry — every lane
+    lands on the same reg rung with the same tries accounting."""
+    from aslr_to_tpu.pallas.lane_solver import build_lane_solver
+
+    w = two_dof_vsa_boxddp(T=12)
+    x0s = 1.2 * jax.random.normal(jax.random.PRNGKey(2), (6, 8))
+    st = SolverSettings(maxiter=8, th_stop=1e-7)
+    a = build_lane_solver(w.problem, st, bounds=w.bounds, interpret=True,
+                          use_gaps=False)(x0s)
+    b = build_lane_solver(w.problem, st, bounds=w.bounds, interpret=True,
+                          use_gaps=False, speculative_backward=True)(x0s)
+    for name in a._fields:
+        if name == "log":
+            continue
+        va, vb = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+        assert np.array_equal(va, vb, equal_nan=True), name
