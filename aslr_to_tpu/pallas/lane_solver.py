@@ -47,9 +47,9 @@ from ..solvers.problem import ShootingProblem
 from ..utils.vma import pvary_like
 from .layout import padded_batch
 from .riccati import (
-    riccati_box_backward_lanes,
-    riccati_boxfddp_backward_lanes,
-    riccati_fddp_backward_lanes,
+    prepare_riccati_box_backward_lanes,
+    prepare_riccati_boxfddp_backward_lanes,
+    prepare_riccati_fddp_backward_lanes,
 )
 from .vsa_kernels import (
     build_linearize,
@@ -226,30 +226,39 @@ def build_lane_solver(
         if boxed:
             blb, bub = (lb_pk, ub_pk) if box_pk else (lb_l, ub_l)
 
-        def backward(run, term, us_l, fs_l, reg, kprev_l):
+        def prepare_backward(run, term, us_l, fs_l, kprev_l):
+            """Pack/pad the backward inputs ONCE per solver iteration and
+            return ``launch(reg)`` — the reg-retry loop relaunches with
+            identical inputs except reg, and per-relaunch re-packing
+            measured ~4 ms/batch of pure reshape copies (round-5
+            profile, docs/BENCH.md)."""
             if boxed and use_gaps:
-                out = riccati_boxfddp_backward_lanes(
+                launch = prepare_riccati_boxfddp_backward_lanes(
                     run["Fx"], run["Fu"], run["Lx"], run["Lu"],
                     run["Lxx"], run["Lxu"], run["Luu"],
-                    term["Lx"], term["Lxx"], fs_l, us_l, blb, bub, reg,
+                    term["Lx"], term["Lxx"], fs_l, us_l, blb, bub,
                     qp_iters=qp_iters, nb=nb, interpret=interpret,
                     per_knot_box=box_pk, kprev_l=kprev_l)
             elif boxed:
-                out = riccati_box_backward_lanes(
+                launch = prepare_riccati_box_backward_lanes(
                     run["Fx"], run["Fu"], run["Lx"], run["Lu"],
                     run["Lxx"], run["Lxu"], run["Luu"],
-                    term["Lx"], term["Lxx"], us_l, blb, bub, reg,
+                    term["Lx"], term["Lxx"], us_l, blb, bub,
                     qp_iters=qp_iters, nb=nb, interpret=interpret,
                     per_knot_box=box_pk, kprev_l=kprev_l)
             else:
-                out = riccati_fddp_backward_lanes(
+                launch = prepare_riccati_fddp_backward_lanes(
                     run["Fx"], run["Fu"], run["Lx"], run["Lu"],
                     run["Lxx"], run["Lxu"], run["Luu"],
-                    term["Lx"], term["Lxx"], fs_l, reg,
+                    term["Lx"], term["Lxx"], fs_l,
                     nu=nu, nb=nb, interpret=interpret)
-            # fresh-zero slots (unused dg_gap/Vxx) must match the varying
-            # retry-loop carry under shard_map (utils/vma.py)
-            return pvary_like(out, us_l)
+
+            def backward(reg):
+                # fresh-zero slots (unused dg_gap/Vxx) must match the
+                # varying retry-loop carry under shard_map (utils/vma.py)
+                return pvary_like(launch(reg), us_l)
+
+            return backward
 
         def body(st: _LaneState) -> _LaneState:
             active = ~st.done
@@ -280,7 +289,8 @@ def build_lane_solver(
             kp = st.kprev if warm else None
 
             # -- backward pass with per-lane regularization retry ----------
-            bw0 = backward(run, term, st.us, bw_fs, st.reg, kp)
+            backward = prepare_backward(run, term, st.us, bw_fs, kp)
+            bw0 = backward(st.reg)
 
             def bw_pred(reg, bw, tries):
                 return ((~bw.ok) & bw.retryable & (reg < s.reg_max)
@@ -296,7 +306,7 @@ def build_lane_solver(
                 reg, bw, tries = c
                 pred = bw_pred(reg, bw, tries)
                 reg2 = jnp.where(pred, jnp.minimum(reg * s.reg_factor, s.reg_max), reg)
-                bw2 = backward(run, term, st.us, bw_fs, reg2, kp)
+                bw2 = backward(reg2)
                 bw_m = jax.tree.map(lambda n, o: _sel(pred, n, o), bw2, bw)
                 return reg2, bw_m, tries + pred.astype(jnp.int32)
 

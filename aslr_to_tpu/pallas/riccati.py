@@ -492,6 +492,26 @@ def riccati_box_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
     Returns a :class:`BoxBackwardOut` whose k/K stay in lane layout
     ([T,4,Bp] / [T,4,8,Bp]); stats are [Bp] vectors.
     """
+    return prepare_riccati_box_backward_lanes(
+        Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l, tLx_l, tLxx_l, us_l,
+        lb_l, ub_l, qp_iters=qp_iters, nb=nb, t_chunk=t_chunk,
+        interpret=interpret, per_knot_box=per_knot_box, kprev_l=kprev_l)(reg)
+
+
+def prepare_riccati_box_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l,
+                                       Luu_l, tLx_l, tLxx_l, us_l, lb_l, ub_l,
+                                       qp_iters: int = _QP_ITERS, nb: int = NB,
+                                       t_chunk: int = 25,
+                                       interpret: bool = False,
+                                       per_knot_box: bool = False,
+                                       kprev_l=None):
+    """Two-phase variant of :func:`riccati_box_backward_lanes`:
+    ``prepare(inputs...) -> launch(reg)``. The reg-retry loop relaunches
+    the backward ~2.85x per solver iteration with IDENTICAL inputs except
+    ``reg`` — packing/padding them per relaunch re-ran ~4 ms/batch of
+    pure reshape copies inside the retry while (round-5 profile,
+    docs/BENCH.md); preparing once per solver iteration hoists that out
+    of the loop."""
     T = Fx_l.shape[0]
     dtype = Fx_l.dtype
     Bp = Fx_l.shape[-1]
@@ -532,47 +552,63 @@ def riccati_box_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
     args = [prep(Fx_l), prep(Fu_l), prep(Lx_l), prep(Lu_l),
             prep(Lxx_l), prep(Lxu_l), prep(Luu_l),
             to_packed(tLx_l, nb), to_packed(tLxx_l, nb), prep(us_l),
-            *warm_args, *box_args, to_packed(reg[None], nb)[0]]
+            *warm_args, *box_args]
 
     kernel = functools.partial(_riccati_box_kernel, Tc, NC, pad, qp_iters,
                                per_knot_box, warm)
-    k_p, K_p, stats_p, _, _ = pl.pallas_call(
-        kernel,
-        grid=(G, NC),
-        in_specs=[
-            tspec(NDX, NDX), tspec(NDX, NU), tspec(NDX), tspec(NU),
-            tspec(NDX, NDX), tspec(NDX, NU), tspec(NU, NU),
-            cspec(NDX), cspec(NDX, NDX), tspec(NU), *warm_specs,
-            *box_specs, cspec(),
-        ],
-        out_specs=[tspec(NU), tspec(NU, NDX), cspec(8), cspec(NDX), cspec(NDX, NDX)],
-        out_shape=out_structs([
-            jax.ShapeDtypeStruct((Tp, NU, rows, nb), dtype),
-            jax.ShapeDtypeStruct((Tp, NU, NDX, rows, nb), dtype),
-            jax.ShapeDtypeStruct((8, rows, nb), dtype),
-            jax.ShapeDtypeStruct((NDX, rows, nb), dtype),
-            jax.ShapeDtypeStruct((NDX, NDX, rows, nb), dtype),
-        ], Fx_l),
-        scratch_shapes=[
-            pltpu.VMEM((NDX, P, nb), dtype),
-            pltpu.VMEM((NDX, NDX, P, nb), dtype),
-        ],
-        interpret=interpret,
-    )(*args)
 
-    k_l = from_packed(k_p)[pad:]
-    K_l = from_packed(K_p)[pad:]
-    stats = from_packed(stats_p)
-    ok = stats[3] > (float(NC) - 0.5)       # every chunk finite
-    return BoxBackwardOut(k=k_l, K=K_l, dg=stats[0], dq=stats[1],
-                          stop=stats[2], ok=ok,
-                          retryable=stats[4] > 0.5)
+    def launch(reg) -> BoxBackwardOut:
+        k_p, K_p, stats_p, _, _ = pl.pallas_call(
+            kernel,
+            grid=(G, NC),
+            in_specs=[
+                tspec(NDX, NDX), tspec(NDX, NU), tspec(NDX), tspec(NU),
+                tspec(NDX, NDX), tspec(NDX, NU), tspec(NU, NU),
+                cspec(NDX), cspec(NDX, NDX), tspec(NU), *warm_specs,
+                *box_specs, cspec(),
+            ],
+            out_specs=[tspec(NU), tspec(NU, NDX), cspec(8), cspec(NDX), cspec(NDX, NDX)],
+            out_shape=out_structs([
+                jax.ShapeDtypeStruct((Tp, NU, rows, nb), dtype),
+                jax.ShapeDtypeStruct((Tp, NU, NDX, rows, nb), dtype),
+                jax.ShapeDtypeStruct((8, rows, nb), dtype),
+                jax.ShapeDtypeStruct((NDX, rows, nb), dtype),
+                jax.ShapeDtypeStruct((NDX, NDX, rows, nb), dtype),
+            ], Fx_l),
+            scratch_shapes=[
+                pltpu.VMEM((NDX, P, nb), dtype),
+                pltpu.VMEM((NDX, NDX, P, nb), dtype),
+            ],
+            interpret=interpret,
+        )(*args, to_packed(reg[None], nb)[0])
+
+        k_l = from_packed(k_p)[pad:]
+        K_l = from_packed(K_p)[pad:]
+        stats = from_packed(stats_p)
+        ok = stats[3] > (float(NC) - 0.5)       # every chunk finite
+        return BoxBackwardOut(k=k_l, K=K_l, dg=stats[0], dq=stats[1],
+                              stop=stats[2], ok=ok,
+                              retryable=stats[4] > 0.5)
+
+    return launch
 
 
 def _fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
                        tLx_l, tLxx_l, fs_l, reg, us_l, lb_l, ub_l,
                        nu, qp_iters, nb, t_chunk, interpret,
                        per_knot_box=False, kprev_l=None) -> FddpBackwardOut:
+    return _prepare_fddp_family_lanes(
+        Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l, tLx_l, tLxx_l, fs_l,
+        us_l, lb_l, ub_l, nu, qp_iters, nb, t_chunk, interpret,
+        per_knot_box=per_knot_box, kprev_l=kprev_l)(reg)
+
+
+def _prepare_fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
+                               tLx_l, tLxx_l, fs_l, us_l, lb_l, ub_l,
+                               nu, qp_iters, nb, t_chunk, interpret,
+                               per_knot_box=False, kprev_l=None):
+    """``prepare(inputs...) -> launch(reg)`` (see
+    :func:`prepare_riccati_box_backward_lanes` for why)."""
     boxed = us_l is not None
     warm = kprev_l is not None
     T = Fx_l.shape[0]
@@ -623,7 +659,6 @@ def _fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
         else:
             args += [to_packed(lb_l, nb), to_packed(ub_l, nb)]
             in_specs += [cspec(nu), cspec(nu)]
-    args += [to_packed(reg[None], nb)[0]]
     in_specs += [cspec()]
 
     kernel = functools.partial(_riccati_fddp_kernel, Tc, NC, pad, nu, boxed,
@@ -634,42 +669,46 @@ def _fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
     # measured 20-24 MB; v5e has 128 MiB physical VMEM
     cparams = (pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
                if ndx > 8 else None)
-    k_p, K_p, Vxx_p, VxxT_p, stats_p, _, _ = pl.pallas_call(
-        kernel,
-        grid=(G, NC),
-        compiler_params=cparams,
-        in_specs=in_specs,
-        out_specs=[tspec(nu), tspec(nu, ndx), tspec(ndx, ndx), cspec(ndx, ndx),
-                   cspec(8), cspec(ndx), cspec(ndx, ndx)],
-        out_shape=out_structs([
-            jax.ShapeDtypeStruct((Tp, nu, rows, nb), dtype),
-            jax.ShapeDtypeStruct((Tp, nu, ndx, rows, nb), dtype),
-            jax.ShapeDtypeStruct((Tp, ndx, ndx, rows, nb), dtype),
-            jax.ShapeDtypeStruct((ndx, ndx, rows, nb), dtype),
-            jax.ShapeDtypeStruct((8, rows, nb), dtype),
-            jax.ShapeDtypeStruct((ndx, rows, nb), dtype),
-            jax.ShapeDtypeStruct((ndx, ndx, rows, nb), dtype),
-        ], Fx_l),
-        scratch_shapes=[
-            pltpu.VMEM((ndx, P, nb), dtype),
-            pltpu.VMEM((ndx, ndx, P, nb), dtype),
-        ],
-        interpret=interpret,
-    )(*args)
 
-    k_l = from_packed(k_p)[pad:]
-    K_l = from_packed(K_p)[pad:]
-    # per-node Vxx [T+1, 8, 8, Bp] for the line search's dv correction
-    Vxx_l = jnp.concatenate(
-        [from_packed(Vxx_p)[pad:], from_packed(VxxT_p)[None]], axis=0)
-    stats = from_packed(stats_p)
-    return FddpBackwardOut(
-        k=k_l, K=K_l, Vxx=Vxx_l,
-        dg=stats[0], dq=stats[1], stop=stats[2],
-        dg_gap=stats[4], dq_gap=stats[5],
-        ok=stats[3] > (float(NC) - 0.5),
-        retryable=stats[6] > 0.5,
-    )
+    def launch(reg) -> FddpBackwardOut:
+        k_p, K_p, Vxx_p, VxxT_p, stats_p, _, _ = pl.pallas_call(
+            kernel,
+            grid=(G, NC),
+            compiler_params=cparams,
+            in_specs=in_specs,
+            out_specs=[tspec(nu), tspec(nu, ndx), tspec(ndx, ndx), cspec(ndx, ndx),
+                       cspec(8), cspec(ndx), cspec(ndx, ndx)],
+            out_shape=out_structs([
+                jax.ShapeDtypeStruct((Tp, nu, rows, nb), dtype),
+                jax.ShapeDtypeStruct((Tp, nu, ndx, rows, nb), dtype),
+                jax.ShapeDtypeStruct((Tp, ndx, ndx, rows, nb), dtype),
+                jax.ShapeDtypeStruct((ndx, ndx, rows, nb), dtype),
+                jax.ShapeDtypeStruct((8, rows, nb), dtype),
+                jax.ShapeDtypeStruct((ndx, rows, nb), dtype),
+                jax.ShapeDtypeStruct((ndx, ndx, rows, nb), dtype),
+            ], Fx_l),
+            scratch_shapes=[
+                pltpu.VMEM((ndx, P, nb), dtype),
+                pltpu.VMEM((ndx, ndx, P, nb), dtype),
+            ],
+            interpret=interpret,
+        )(*args, to_packed(reg[None], nb)[0])
+
+        k_l = from_packed(k_p)[pad:]
+        K_l = from_packed(K_p)[pad:]
+        # per-node Vxx [T+1, ndx, ndx, Bp] for the line search's dv correction
+        Vxx_l = jnp.concatenate(
+            [from_packed(Vxx_p)[pad:], from_packed(VxxT_p)[None]], axis=0)
+        stats = from_packed(stats_p)
+        return FddpBackwardOut(
+            k=k_l, K=K_l, Vxx=Vxx_l,
+            dg=stats[0], dq=stats[1], stop=stats[2],
+            dg_gap=stats[4], dq_gap=stats[5],
+            ok=stats[3] > (float(NC) - 0.5),
+            retryable=stats[6] > 0.5,
+        )
+
+    return launch
 
 
 def riccati_fddp_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
@@ -688,6 +727,38 @@ def riccati_fddp_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
     return _fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
                               tLx_l, tLxx_l, fs_l, reg, None, None, None,
                               nu, 0, nb, t_chunk, interpret)
+
+
+def prepare_riccati_fddp_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l,
+                                        Luu_l, tLx_l, tLxx_l, fs_l,
+                                        nu: int = 2, nb: int = NB,
+                                        t_chunk: int = 25,
+                                        interpret: bool = False):
+    """``prepare -> launch(reg)`` variant of
+    :func:`riccati_fddp_backward_lanes` (hoists input packing out of the
+    reg-retry loop)."""
+    return _prepare_fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l,
+                                      Luu_l, tLx_l, tLxx_l, fs_l,
+                                      None, None, None, nu, 0, nb, t_chunk,
+                                      interpret)
+
+
+def prepare_riccati_boxfddp_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l,
+                                           Lxu_l, Luu_l, tLx_l, tLxx_l, fs_l,
+                                           us_l, lb_l, ub_l,
+                                           qp_iters: int = _QP_ITERS,
+                                           nb: int = NB, t_chunk: int = 25,
+                                           interpret: bool = False,
+                                           per_knot_box: bool = False,
+                                           kprev_l=None):
+    """``prepare -> launch(reg)`` variant of
+    :func:`riccati_boxfddp_backward_lanes`."""
+    nu = Fu_l.shape[2]
+    return _prepare_fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l,
+                                      Luu_l, tLx_l, tLxx_l, fs_l, us_l, lb_l,
+                                      ub_l, nu, qp_iters, nb, t_chunk,
+                                      interpret, per_knot_box=per_knot_box,
+                                      kprev_l=kprev_l)
 
 
 def riccati_boxfddp_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,

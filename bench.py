@@ -228,6 +228,29 @@ def main():
             print(f"[bench] homotopy quality skipped: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
+    # -- 7-DoF generality: the talos_arm-class SEA reach on the lane path --
+    # (dimension-generic kernels, round 5 — was 16 solves/s generic-only)
+    if (QUALITY and WORKLOAD == "vsa" and use_lanes and _left() > 250
+            and os.environ.get("BENCH_7DOF", "1") == "1"):
+        try:
+            from aslr_to_tpu.workloads.presets import seven_dof_sea
+            sw7 = seven_dof_sea(T=T, dtype=dtype)
+            B7 = _env_int("BENCH_7DOF_BATCH", "1024")   # measured knee
+            fn7 = make_batched_solver(
+                sw7.problem, SolverSettings(maxiter=MAXITER, th_stop=TH_STOP),
+                use_gaps=True, bounds=None, warm_start=True,
+                use_fast_path="lanes")
+            x7 = 0.05 * jax.random.normal(jax.random.PRNGKey(2),
+                                          (B7, sw7.problem.state.nx), dtype=dtype)
+            rate, res = _time_solves(fn7, x7, REPS, dtype)
+            s4 = convergence_summary(res)
+            record["sevendof_solves_per_s"] = round(rate, 2)
+            record["sevendof_converged_frac"] = round(s4["converged_frac"], 4)
+            _log(f"7-DoF lane: {rate:.0f}/s, {s4['converged_frac']:.1%} converged")
+        except Exception as e:
+            print(f"[bench] 7-DoF metric skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     print(json.dumps(record))
 
 
