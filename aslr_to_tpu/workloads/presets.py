@@ -325,4 +325,9 @@ PRESETS = {
     "two_dof_sea": two_dof_sea,
     "two_dof_vsa_boxddp": two_dof_vsa_boxddp,
     "two_dof_vsa_modified": two_dof_vsa_modified,
+    # beyond the reference's four example scripts: the chain-length
+    # generality its own test-suite exercises (talos_arm SEA), plus the
+    # small-chain parity fixture
+    "seven_dof_sea": seven_dof_sea,
+    "three_dof_sea": three_dof_sea,
 }

