@@ -34,6 +34,10 @@ Scope: all four solver families on problems covered by
   - BoxFDDP (gaps + bounds) — the deflected recursion with the masked
     BoxQP gain partition (riccati.riccati_boxfddp_backward_lanes),
     clamped gap-contracting rollouts.
+
+Chain-length generic since round 5 (the spec carries ``nl``; ndx=4*nl):
+the talos_arm-class 7-DoF SEA family runs this loop at 1563 solves/s —
+98x the generic path (scripts/bench_7dof.py, docs/BENCH.md round 5).
 """
 from __future__ import annotations
 
