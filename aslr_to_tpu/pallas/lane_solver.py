@@ -352,9 +352,14 @@ def build_lane_solver(
                 if use_gaps:
                     # dv correction (Crocoddyl FDDP::expectedImprovement):
                     # dv = -sum_t fs_t . (Vxx_t dx_t), dx_t = xs (-) xs_try
-                    # (state.diff(xs_t, st.xs) in solvers/ddp.py = st.xs - xs_t).
+                    # (state.diff(xs_t, st.xs) in solvers/ddp.py = st.xs - xs_t);
+                    # by Vxx symmetry == -sum_t w_t . dx_t with the kernel's
+                    # deflection vectors w_t = Vxx_t fs_t ([T+1, ndx, Bp] —
+                    # ndx x smaller than the per-node Vxx the backward used
+                    # to emit; the [T,ndx,ndx,Bp] retry carry was ~20% of
+                    # 7-DoF device time, docs/BENCH.md round 5)
                     dx = st.xs - xs_t
-                    dv = -jnp.einsum("tib,tijb,tjb->b", fs_l, bw.Vxx, dx) * infeas_f
+                    dv = -jnp.einsum("tib,tib->b", bw.w, dx) * infeas_f
                     d1 = dg + dv
                     d2 = dq - 2.0 * dv
                     dVexp = alpha * (d1 + 0.5 * alpha * d2)

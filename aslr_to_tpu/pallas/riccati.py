@@ -293,27 +293,32 @@ def _riccati_box_kernel(Tc, NC, pad, qp_iters, box_pk, warm, *refs):
 
 def _riccati_fddp_kernel(Tc, NC, pad, nu, boxed, qp_iters, box_pk, warm, *refs):
     """FDDP / BoxFDDP backward chunk: deflected Vx (+ Vxx fs) stored at
-    every node (Crocoddyl SolverFDDP::backwardPass), per-node Vxx emitted
-    for the line search's dv correction, and the gap terms of the expected
-    improvement accumulated in-kernel. ``boxed`` adds the per-knot masked
-    BoxQP / free-clamped gain partition (Crocoddyl SolverBoxFDDP);
-    ``warm`` its active-set warm start (kprev input)."""
+    every node (Crocoddyl SolverFDDP::backwardPass), the per-node
+    DEFLECTION VECTOR ``w_t = Vxx_t fs_t`` emitted for the line search's
+    dv correction (by Vxx symmetry ``fs.(Vxx dx) = w.dx`` — emitting the
+    [ndx] vector instead of the [ndx, ndx] matrix cuts the backward's
+    HBM output and the retry-loop carry by ~ndx x; at 7-DoF that carry
+    measured ~20% of device time, docs/BENCH.md round 5), and the gap
+    terms of the expected improvement accumulated in-kernel. ``boxed``
+    adds the per-knot masked BoxQP / free-clamped gain partition
+    (Crocoddyl SolverBoxFDDP); ``warm`` its active-set warm start
+    (kprev input)."""
     kprev_ref = None
     if boxed and warm:
         (Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
          tLx_ref, tLxx_ref, fs_ref, fsT_ref, us_ref, kprev_ref, lb_ref,
          ub_ref, reg_ref,
-         k_ref, K_ref, Vxx_all_ref, VxxT_ref, stats_ref, cVx_ref, cVxx_ref,
+         k_ref, K_ref, w_ref, wT_ref, stats_ref, cVx_ref, cVxx_ref,
          Vx_s, Vxx_s) = refs
     elif boxed:
         (Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
          tLx_ref, tLxx_ref, fs_ref, fsT_ref, us_ref, lb_ref, ub_ref, reg_ref,
-         k_ref, K_ref, Vxx_all_ref, VxxT_ref, stats_ref, cVx_ref, cVxx_ref,
+         k_ref, K_ref, w_ref, wT_ref, stats_ref, cVx_ref, cVxx_ref,
          Vx_s, Vxx_s) = refs
     else:
         (Fx_ref, Fu_ref, Lx_ref, Lu_ref, Lxx_ref, Lxu_ref, Luu_ref,
          tLx_ref, tLxx_ref, fs_ref, fsT_ref, reg_ref,
-         k_ref, K_ref, Vxx_all_ref, VxxT_ref, stats_ref, cVx_ref, cVxx_ref,
+         k_ref, K_ref, w_ref, wT_ref, stats_ref, cVx_ref, cVxx_ref,
          Vx_s, Vxx_s) = refs
         us_ref = lb_ref = ub_ref = None
     dtype = Fx_ref.dtype
@@ -326,13 +331,14 @@ def _riccati_fddp_kernel(Tc, NC, pad, nu, boxed, qp_iters, box_pk, warm, *refs):
         # terminal node: regularize Lxx, deflect Vx with fs[T], emit stats
         VxxT = add_diag(tLxx_ref[:], reg)
         fsT = fsT_ref[:]
-        VxT = tLx_ref[:] + _matvec(VxxT, fsT)
+        wT = _matvec(VxxT, fsT)
+        VxT = tLx_ref[:] + wT
         Vxx_s[:] = VxxT
         Vx_s[:] = VxT
-        VxxT_ref[:] = VxxT
+        wT_ref[:] = wT
         stats_ref[:] = jnp.zeros_like(stats_ref)
         stats_ref[4] = -jnp.sum(VxT * fsT, axis=0)
-        stats_ref[5] = jnp.sum(fsT * _matvec(VxxT, fsT), axis=0)
+        stats_ref[5] = jnp.sum(fsT * wT, axis=0)
 
     zeros = jnp.zeros_like(reg)
 
@@ -370,7 +376,8 @@ def _riccati_fddp_kernel(Tc, NC, pad, nu, boxed, qp_iters, box_pk, warm, *refs):
         Vxx_new = Qxx - _matmul(Qxu, K)
         Vxx_new = add_diag(0.5 * (Vxx_new + _transpose12(Vxx_new)), reg)
         fs_t = fs_ref[t]
-        Vx_new = Vx_new + _matvec(Vxx_new, fs_t)   # FDDP deflection
+        w_t = _matvec(Vxx_new, fs_t)
+        Vx_new = Vx_new + w_t                      # FDDP deflection
 
         # retryable-failure detector (see the Box kernel for the taxonomy)
         quu_ok = jnp.all(jnp.isfinite(Quu), axis=(0, 1))
@@ -391,14 +398,14 @@ def _riccati_fddp_kernel(Tc, NC, pad, nu, boxed, qp_iters, box_pk, warm, *refs):
         Vxx_s[:] = Vxx_new
         k_ref[t] = k
         K_ref[t] = K
-        Vxx_all_ref[t] = Vxx_new
+        w_ref[t] = w_t
 
         indef = jnp.maximum(indef, indef_t * vf)
         dg = dg + jnp.sum(Qu * k, axis=0) * vf
         dq = dq - jnp.sum(k * Quuk, axis=0) * vf
         stop = stop + jnp.sum(Qu * Qu, axis=0) * vf
         dg_gap = dg_gap - jnp.sum(Vx_new * fs_t, axis=0) * vf
-        dq_gap = dq_gap + jnp.sum(fs_t * _matvec(Vxx_new, fs_t), axis=0) * vf
+        dq_gap = dq_gap + jnp.sum(fs_t * w_t, axis=0) * vf
         return dg, dq, stop, dg_gap, dq_gap, indef
 
     dg, dq, stop, dg_gap, dq_gap, indef = jax.lax.fori_loop(
@@ -423,7 +430,8 @@ def _riccati_fddp_kernel(Tc, NC, pad, nu, boxed, qp_iters, box_pk, warm, *refs):
 class FddpBackwardOut(NamedTuple):
     k: jnp.ndarray        # [B, T, nu] (lane variants: [T, nu, Bp])
     K: jnp.ndarray        # [B, T, nu, 8]
-    Vxx: jnp.ndarray      # [B, T+1, 8, 8] (for the dv correction)
+    w: jnp.ndarray        # [B, T+1, ndx] deflection vectors Vxx_t fs_t (for
+                          # the line search's dv correction: dv = -sum w.dx)
     dg: jnp.ndarray
     dq: jnp.ndarray
     stop: jnp.ndarray
@@ -468,7 +476,7 @@ def _chunk_plan(T, t_chunk, boxed, gaps, P, nb, itemsize, ndx=NDX, nu=NU):
     per_knot = (2 * ndx * ndx + 2 * ndx * nu + ndx + 2 * nu + nu * nu
                 + (nu if boxed else 0) + nu + nu * ndx)
     if gaps:
-        per_knot += ndx * ndx + ndx   # Vxx_all out + fs in
+        per_knot += 2 * ndx   # w (deflection vector) out + fs in
     budget = 6 * 1024 * 1024     # bytes per buffer set (x2 with pipelining)
     tc_mem = max(1, budget // (per_knot * P * nb * itemsize))
     return pick_chunks(T, min(t_chunk, tc_mem))
@@ -671,18 +679,18 @@ def _prepare_fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
                if ndx > 8 else None)
 
     def launch(reg) -> FddpBackwardOut:
-        k_p, K_p, Vxx_p, VxxT_p, stats_p, _, _ = pl.pallas_call(
+        k_p, K_p, w_p, wT_p, stats_p, _, _ = pl.pallas_call(
             kernel,
             grid=(G, NC),
             compiler_params=cparams,
             in_specs=in_specs,
-            out_specs=[tspec(nu), tspec(nu, ndx), tspec(ndx, ndx), cspec(ndx, ndx),
+            out_specs=[tspec(nu), tspec(nu, ndx), tspec(ndx), cspec(ndx),
                        cspec(8), cspec(ndx), cspec(ndx, ndx)],
             out_shape=out_structs([
                 jax.ShapeDtypeStruct((Tp, nu, rows, nb), dtype),
                 jax.ShapeDtypeStruct((Tp, nu, ndx, rows, nb), dtype),
-                jax.ShapeDtypeStruct((Tp, ndx, ndx, rows, nb), dtype),
-                jax.ShapeDtypeStruct((ndx, ndx, rows, nb), dtype),
+                jax.ShapeDtypeStruct((Tp, ndx, rows, nb), dtype),
+                jax.ShapeDtypeStruct((ndx, rows, nb), dtype),
                 jax.ShapeDtypeStruct((8, rows, nb), dtype),
                 jax.ShapeDtypeStruct((ndx, rows, nb), dtype),
                 jax.ShapeDtypeStruct((ndx, ndx, rows, nb), dtype),
@@ -696,12 +704,13 @@ def _prepare_fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
 
         k_l = from_packed(k_p)[pad:]
         K_l = from_packed(K_p)[pad:]
-        # per-node Vxx [T+1, ndx, ndx, Bp] for the line search's dv correction
-        Vxx_l = jnp.concatenate(
-            [from_packed(Vxx_p)[pad:], from_packed(VxxT_p)[None]], axis=0)
+        # per-node deflection vectors w = Vxx fs [T+1, ndx, Bp] for the
+        # line search's dv correction (ndx x smaller than emitting Vxx)
+        w_l = jnp.concatenate(
+            [from_packed(w_p)[pad:], from_packed(wT_p)[None]], axis=0)
         stats = from_packed(stats_p)
         return FddpBackwardOut(
-            k=k_l, K=K_l, Vxx=Vxx_l,
+            k=k_l, K=K_l, w=w_l,
             dg=stats[0], dq=stats[1], stop=stats[2],
             dg_gap=stats[4], dq_gap=stats[5],
             ok=stats[3] > (float(NC) - 0.5),
@@ -721,8 +730,8 @@ def riccati_fddp_backward_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
     :func:`.layout.padded_batch`): Fx_l [T,8,8,Bp], Fu_l [T,8,nu,Bp],
     Lx_l [T,8,Bp], Lu_l [T,nu,Bp], Lxx_l [T,8,8,Bp], Lxu_l [T,8,nu,Bp],
     Luu_l [T,nu,nu,Bp], tLx_l [8,Bp], tLxx_l [8,8,Bp], fs_l [T+1,8,Bp],
-    reg [Bp]. Returns a :class:`FddpBackwardOut` whose k/K/Vxx stay in
-    lane layout ([T,nu,Bp] / [T,nu,8,Bp] / [T+1,8,8,Bp]); stats are [Bp].
+    reg [Bp]. Returns a :class:`FddpBackwardOut` whose k/K/w stay in
+    lane layout ([T,nu,Bp] / [T,nu,8,Bp] / [T+1,8,Bp]); stats are [Bp].
     """
     return _fddp_family_lanes(Fx_l, Fu_l, Lx_l, Lu_l, Lxx_l, Lxu_l, Luu_l,
                               tLx_l, tLxx_l, fs_l, reg, None, None, None,
@@ -812,9 +821,9 @@ def riccati_boxfddp_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
         kprev_l=None if kprev is None else tl(kprev))
     k = jnp.transpose(out.k, (2, 0, 1))[:B]
     K = jnp.transpose(out.K, (3, 0, 1, 2))[:B]
-    Vxx = jnp.transpose(out.Vxx, (3, 0, 1, 2))[:B]
+    w = jnp.transpose(out.w, (2, 0, 1))[:B]
     return FddpBackwardOut(
-        k=k, K=K, Vxx=Vxx,
+        k=k, K=K, w=w,
         dg=out.dg[:B], dq=out.dq[:B], stop=out.stop[:B],
         dg_gap=out.dg_gap[:B], dq_gap=out.dq_gap[:B],
         ok=out.ok[:B], retryable=out.retryable[:B],
@@ -841,9 +850,9 @@ def riccati_fddp_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, term_Lx, term_Lxx,
         reg_p, nu=nu, nb=nb, t_chunk=t_chunk, interpret=interpret)
     k = jnp.transpose(out.k, (2, 0, 1))[:B]
     K = jnp.transpose(out.K, (3, 0, 1, 2))[:B]
-    Vxx = jnp.transpose(out.Vxx, (3, 0, 1, 2))[:B]
+    w = jnp.transpose(out.w, (2, 0, 1))[:B]
     return FddpBackwardOut(
-        k=k, K=K, Vxx=Vxx,
+        k=k, K=K, w=w,
         dg=out.dg[:B], dq=out.dq[:B], stop=out.stop[:B],
         dg_gap=out.dg_gap[:B], dq_gap=out.dq_gap[:B],
         ok=out.ok[:B], retryable=out.retryable[:B],

@@ -112,7 +112,9 @@ def fddp_backward_assoc(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, reg):
 
     Same inputs ([T, ...] per-knot derivatives, terminal Lx/Lxx, gaps
     ``fs`` [T+1, ndx], scalar ``reg``) and the same output tuple
-    (k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable).
+    (k, K, w_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable), where
+    ``w_all`` [T+1, ndx] are the deflection vectors ``Vxx_t fs_t``
+    consumed by the line search's dv correction (ddp._Backward.w).
     Values agree with the sequential scan up to floating-point
     reassociation (use f64 for parity checks).
 
@@ -172,17 +174,18 @@ def fddp_backward_assoc(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, reg):
         vx = Qx + K.T @ Quuk - 2.0 * (K.T @ Qu)
         vxx = Qxx - Qxu @ K
         vxx = 0.5 * (vxx + vxx.T) + reg * eye_x
-        vx = vx + vxx @ fs_t
+        w = vxx @ fs_t
+        vx = vx + w
         out_ok = (jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
                   & jnp.all(jnp.isfinite(vx)) & jnp.all(jnp.isfinite(vxx)))
         indef = jnp.all(jnp.isfinite(Quu)) & ~out_ok
-        return (k, K, vxx, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu),
-                -jnp.dot(vx, fs_t), jnp.dot(fs_t, vxx @ fs_t), ok, indef)
+        return (k, K, w, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu),
+                -jnp.dot(vx, fs_t), jnp.dot(fs_t, w), ok, indef)
 
     outs = jax.vmap(knot)(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs[:-1], Vx_n, Vxx_n)
-    k, K, Vxx_t, dg_t, dq_t, stop_t, dgg_t, dqg_t, ok_t, indef_t = outs
-    Vxx_all = jnp.concatenate([Vxx_t, J_T[None]], axis=0)
+    k, K, w_t, dg_t, dq_t, stop_t, dgg_t, dqg_t, ok_t, indef_t = outs
+    w_all = jnp.concatenate([w_t, (J_T @ fs[-1])[None]], axis=0)
     dg_gap = jnp.sum(dgg_t) - jnp.dot(eta_T, fs[-1])
     dq_gap = jnp.sum(dqg_t) + jnp.dot(fs[-1], J_T @ fs[-1])
-    return (k, K, Vxx_all, jnp.sum(dg_t), jnp.sum(dq_t), jnp.sum(stop_t),
+    return (k, K, w_all, jnp.sum(dg_t), jnp.sum(dq_t), jnp.sum(stop_t),
             dg_gap, dq_gap, jnp.all(ok_t), jnp.any(indef_t))

@@ -158,7 +158,11 @@ class _Backward(NamedTuple):
     k: jnp.ndarray       # [T, nu]
     K: jnp.ndarray       # [T, nu, ndx]
     Vx: jnp.ndarray      # [T+1, ndx]
-    Vxx: jnp.ndarray     # [T+1, ndx, ndx]
+    w: jnp.ndarray       # [T+1, ndx] deflection vectors Vxx_t fs_t — all the
+                         # line search needs from Vxx (dv = -sum w.dx, by Vxx
+                         # symmetry == Crocoddyl's -sum fs.(Vxx dx)); carrying
+                         # the vector instead of [T+1, ndx, ndx] shrinks the
+                         # backward output / retry carry by ~ndx x
     dg: jnp.ndarray      # sum Qu.k        (no gap terms)
     dq: jnp.ndarray      # -sum k'Quu k    (no gap terms)
     dg_gap: jnp.ndarray  # -sum Vx.fs   (FDDP expected-improvement gap term)
@@ -307,7 +311,9 @@ def _get_fddp_backward_core(nu: int, interpret: bool):
 def _fddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, reg):
     """Single-scenario FDDP backward — the fused kernel's XLA reference and
     unbatched fallback. Returns
-    (k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable)."""
+    (k, K, w_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable) where
+    ``w_all`` [T+1, ndx] are the deflection vectors ``Vxx_t fs_t`` (the
+    line search's dv correction input — see :class:`_Backward`)."""
     ndx = Fx.shape[-1]
     dtype = Fx.dtype
     nu = Fu.shape[-1]
@@ -315,7 +321,8 @@ def _fddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, reg):
     eye_x = jnp.eye(ndx, dtype=dtype)
 
     Vxx_T = tLxx + reg * eye_x
-    Vx_T = tLx + Vxx_T @ fs[-1]
+    w_T = Vxx_T @ fs[-1]
+    Vx_T = tLx + w_T
 
     def body(carry, inp):
         Vx_n, Vxx_n = carry
@@ -334,20 +341,21 @@ def _fddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs, reg):
         Vx = Qx + K.T @ Quuk - 2.0 * (K.T @ Qu)
         Vxx = Qxx - Qxu @ K
         Vxx = 0.5 * (Vxx + Vxx.T) + reg * eye_x
-        Vx = Vx + Vxx @ fs_t
+        w = Vxx @ fs_t
+        Vx = Vx + w
         out_ok = (jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
                   & jnp.all(jnp.isfinite(Vx)) & jnp.all(jnp.isfinite(Vxx)))
         indef = jnp.all(jnp.isfinite(Quu)) & ~out_ok
-        return (Vx, Vxx), (k, K, Vxx, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu),
-                           -jnp.dot(Vx, fs_t), jnp.dot(fs_t, Vxx @ fs_t), ok, indef)
+        return (Vx, Vxx), (k, K, w, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu),
+                           -jnp.dot(Vx, fs_t), jnp.dot(fs_t, w), ok, indef)
 
     (_, _), outs = jax.lax.scan(
         body, (Vx_T, Vxx_T), (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs[:-1]), reverse=True)
-    k, K, Vxx_t, dg_t, dq_t, stop_t, dgg_t, dqg_t, ok_t, indef_t = outs
-    Vxx_all = jnp.concatenate([Vxx_t, Vxx_T[None]], axis=0)
+    k, K, w_t, dg_t, dq_t, stop_t, dgg_t, dqg_t, ok_t, indef_t = outs
+    w_all = jnp.concatenate([w_t, w_T[None]], axis=0)
     dg_gap = jnp.sum(dgg_t) - jnp.dot(Vx_T, fs[-1])
-    dq_gap = jnp.sum(dqg_t) + jnp.dot(fs[-1], Vxx_T @ fs[-1])
-    return (k, K, Vxx_all, jnp.sum(dg_t), jnp.sum(dq_t), jnp.sum(stop_t),
+    dq_gap = jnp.sum(dqg_t) + jnp.dot(fs[-1], w_T)
+    return (k, K, w_all, jnp.sum(dg_t), jnp.sum(dq_t), jnp.sum(stop_t),
             dg_gap, dq_gap, jnp.all(ok_t), jnp.any(indef_t))
 
 
@@ -357,7 +365,8 @@ def _boxfddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs,
     kernel's XLA reference and unbatched fallback: the FDDP deflected
     recursion with the per-knot masked BoxQP gain partition. ``kprev``
     warm-starts the QPs (see :func:`_box_backward_scan`). Returns
-    (k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable)."""
+    (k, K, w_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable) with
+    ``w_all`` [T+1, ndx] the deflection vectors ``Vxx_t fs_t``."""
     ndx = Fx.shape[-1]
     dtype = Fx.dtype
     nu = Fu.shape[-1]
@@ -365,7 +374,8 @@ def _boxfddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs,
     eye_x = jnp.eye(ndx, dtype=dtype)
 
     Vxx_T = tLxx + reg * eye_x
-    Vx_T = tLx + Vxx_T @ fs[-1]
+    w_T = Vxx_T @ fs[-1]
+    Vx_T = tLx + w_T
 
     def body(carry, inp):
         Vx_n, Vxx_n = carry
@@ -386,20 +396,21 @@ def _boxfddp_backward_scan(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, tLx, tLxx, fs,
         Vx = Qx + K.T @ Quuk - 2.0 * (K.T @ Qu)
         Vxx = Qxx - Qxu @ K
         Vxx = 0.5 * (Vxx + Vxx.T) + reg * eye_x
-        Vx = Vx + Vxx @ fs_t
+        w = Vxx @ fs_t
+        Vx = Vx + w
         out_ok = (ok & jnp.all(jnp.isfinite(Vx)) & jnp.all(jnp.isfinite(Vxx)))
         indef = jnp.all(jnp.isfinite(Quu)) & ~out_ok
-        return (Vx, Vxx), (k, K, Vxx, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu),
-                           -jnp.dot(Vx, fs_t), jnp.dot(fs_t, Vxx @ fs_t), ok, indef)
+        return (Vx, Vxx), (k, K, w, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu),
+                           -jnp.dot(Vx, fs_t), jnp.dot(fs_t, w), ok, indef)
 
     (_, _), outs = jax.lax.scan(
         body, (Vx_T, Vxx_T),
         (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs[:-1], us, kprev), reverse=True)
-    k, K, Vxx_t, dg_t, dq_t, stop_t, dgg_t, dqg_t, ok_t, indef_t = outs
-    Vxx_all = jnp.concatenate([Vxx_t, Vxx_T[None]], axis=0)
+    k, K, w_t, dg_t, dq_t, stop_t, dgg_t, dqg_t, ok_t, indef_t = outs
+    w_all = jnp.concatenate([w_t, w_T[None]], axis=0)
     dg_gap = jnp.sum(dgg_t) - jnp.dot(Vx_T, fs[-1])
-    dq_gap = jnp.sum(dqg_t) + jnp.dot(fs[-1], Vxx_T @ fs[-1])
-    return (k, K, Vxx_all, jnp.sum(dg_t), jnp.sum(dq_t), jnp.sum(stop_t),
+    dq_gap = jnp.sum(dqg_t) + jnp.dot(fs[-1], w_T)
+    return (k, K, w_all, jnp.sum(dg_t), jnp.sum(dq_t), jnp.sum(stop_t),
             dg_gap, dq_gap, jnp.all(ok_t), jnp.any(indef_t))
 
 
@@ -474,7 +485,7 @@ def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds,
 
         # zero gaps recover the plain-DDP recursion (no Vx deflection)
         fs_eff = fs if use_gaps else jnp.zeros_like(fs)
-        (k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok,
+        (k, K, w_all, dg, dq, stop, dg_gap, dq_gap, ok,
          retryable) = fddp_backward_assoc(
             run_diff.Fx, run_diff.Fu, run_diff.Lx, run_diff.Lu,
             run_diff.Lxx, run_diff.Lxu, run_diff.Luu,
@@ -484,7 +495,7 @@ def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds,
         zeros_Vx = jnp.zeros((T + 1, problem.state.ndx), dtype=us.dtype)
         zero = jnp.zeros_like(dg)
         return _Backward(
-            k=k, K=K, Vx=zeros_Vx, Vxx=Vxx_all, dg=dg, dq=dq,
+            k=k, K=K, Vx=zeros_Vx, w=w_all, dg=dg, dq=dq,
             dg_gap=dg_gap if use_gaps else zero,
             dq_gap=dq_gap if use_gaps else zero,
             stop=stop, ok=ok, retryable=retryable)
@@ -499,15 +510,15 @@ def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds,
         T = us.shape[0]
         ndx = problem.state.ndx
         zeros_Vx = jnp.zeros((T + 1, ndx), dtype=us.dtype)
-        zeros_Vxx = jnp.zeros((T + 1, ndx, ndx), dtype=us.dtype)
+        zeros_w = jnp.zeros((T + 1, ndx), dtype=us.dtype)
         zero = jnp.zeros_like(dg)
-        return _Backward(k=k, K=K, Vx=zeros_Vx, Vxx=zeros_Vxx,
+        return _Backward(k=k, K=K, Vx=zeros_Vx, w=zeros_w,
                          dg=dg, dq=dq, dg_gap=zero, dq_gap=zero, stop=stop, ok=ok,
                          retryable=retryable)
     if shared_box and use_gaps and settings.use_pallas_backward:
         core = _get_boxfddp_backward_core(qp_iters, jax.default_backend() != "tpu", warm)
         kp = (us, kprev) if warm else (us,)
-        k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable = core(
+        k, K, w_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable = core(
             run_diff.Fx, run_diff.Fu, run_diff.Lx, run_diff.Lu,
             run_diff.Lxx, run_diff.Lxu, run_diff.Luu,
             term_diff.Lx, term_diff.Lxx, fs, *kp, bounds.lb, bounds.ub,
@@ -515,19 +526,19 @@ def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds,
         T = us.shape[0]
         ndx = problem.state.ndx
         zeros_Vx = jnp.zeros((T + 1, ndx), dtype=us.dtype)
-        return _Backward(k=k, K=K, Vx=zeros_Vx, Vxx=Vxx_all,
+        return _Backward(k=k, K=K, Vx=zeros_Vx, w=w_all,
                          dg=dg, dq=dq, dg_gap=dg_gap, dq_gap=dq_gap, stop=stop, ok=ok,
                          retryable=retryable)
     if (bounds is None) and use_gaps and settings.use_pallas_backward:
         core = _get_fddp_backward_core(problem.nu, jax.default_backend() != "tpu")
-        k, K, Vxx_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable = core(
+        k, K, w_all, dg, dq, stop, dg_gap, dq_gap, ok, retryable = core(
             run_diff.Fx, run_diff.Fu, run_diff.Lx, run_diff.Lu,
             run_diff.Lxx, run_diff.Lxu, run_diff.Luu,
             term_diff.Lx, term_diff.Lxx, fs, jnp.asarray(reg, dtype=us.dtype))
         T = us.shape[0]
         ndx = problem.state.ndx
         zeros_Vx = jnp.zeros((T + 1, ndx), dtype=us.dtype)
-        return _Backward(k=k, K=K, Vx=zeros_Vx, Vxx=Vxx_all,
+        return _Backward(k=k, K=K, Vx=zeros_Vx, w=w_all,
                          dg=dg, dq=dq, dg_gap=dg_gap, dq_gap=dq_gap, stop=stop, ok=ok,
                          retryable=retryable)
     ndx = problem.state.ndx
@@ -542,7 +553,8 @@ def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds,
     # Qx/Qu and the gap terms of the expected-improvement model, which is
     # what makes dVexp go negative on large gaps and routes acceptance
     # through the th_acceptnegstep branch.
-    Vx_T = term_diff.Lx + (Vxx_T @ fs[-1] if use_gaps else 0.0)
+    w_T = Vxx_T @ fs[-1] if use_gaps else jnp.zeros_like(term_diff.Lx)
+    Vx_T = term_diff.Lx + (w_T if use_gaps else 0.0)
 
     lb_knot = bounds is not None and jnp.ndim(bounds.lb) == 2
 
@@ -580,29 +592,32 @@ def _backward_impl(problem, run_diff, term_diff, fs, us, reg, use_gaps, bounds,
         Vxx = Qxx - Qxu @ K
         Vxx = 0.5 * (Vxx + Vxx.T) + reg * eye_x
         if use_gaps:
-            Vx = Vx + Vxx @ fs_t
+            w = Vxx @ fs_t
+            Vx = Vx + w
+        else:
+            w = jnp.zeros_like(Vx)
 
         out_ok = (jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
                   & jnp.all(jnp.isfinite(Vx)) & jnp.all(jnp.isfinite(Vxx)))
         indef = jnp.all(jnp.isfinite(Quu)) & ~out_ok
-        out = (k, K, Vx, Vxx, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu), ok, indef)
+        out = (k, K, Vx, w, jnp.dot(Qu, k), -jnp.dot(k, Quuk), jnp.dot(Qu, Qu), ok, indef)
         return (Vx, Vxx), out
 
     bnd_xs = (bounds.lb, bounds.ub) if lb_knot else None
     (_, _), outs = jax.lax.scan(
         body, (Vx_T, Vxx_T), (run_diff, fs[:-1], us, bnd_xs, kprev), reverse=True)
-    k, K, Vx_t, Vxx_t, dg_t, dq_t, stop_t, ok_t, indef_t = outs
+    k, K, Vx_t, w_t, dg_t, dq_t, stop_t, ok_t, indef_t = outs
 
     Vx = jnp.concatenate([Vx_t, Vx_T[None]], axis=0)
-    Vxx = jnp.concatenate([Vxx_t, Vxx_T[None]], axis=0)
+    w_all = jnp.concatenate([w_t, w_T[None]], axis=0)
     if use_gaps:
         dg_gap = -jnp.einsum("ti,ti->", Vx, fs)
-        dq_gap = jnp.einsum("ti,tij,tj->", fs, Vxx, fs)
+        dq_gap = jnp.einsum("ti,ti->", fs, w_all)
     else:
         dg_gap = jnp.zeros((), dtype=dtype)
         dq_gap = jnp.zeros((), dtype=dtype)
     return _Backward(
-        k=k, K=K, Vx=Vx, Vxx=Vxx,
+        k=k, K=K, Vx=Vx, w=w_all,
         dg=jnp.sum(dg_t), dq=jnp.sum(dq_t), dg_gap=dg_gap, dq_gap=dq_gap,
         stop=jnp.sum(stop_t), ok=jnp.all(ok_t), retryable=jnp.any(indef_t),
     )
@@ -792,9 +807,11 @@ def _solve_impl(problem, xs_init, us_init, settings, use_gaps, bounds, fast) -> 
                     problem, st.xs, st.us, bw.k, bw.K, fs, alpha, ~feasible, use_gaps, bounds)
             if use_gaps:
                 # dv correction (Crocoddyl FDDP::expectedImprovement):
-                # dv = -sum_t fs_t . (Vxx_t dx_t), dx_t = xs_t (-) xs_try_t.
+                # dv = -sum_t fs_t . (Vxx_t dx_t), dx_t = xs_t (-) xs_try_t;
+                # by Vxx symmetry == -sum_t w_t . dx_t with the backward's
+                # deflection vectors w_t = Vxx_t fs_t (see _Backward.w)
                 dx = jax.vmap(state.diff)(xs_t, st.xs)
-                dv = -jnp.einsum("ti,tij,tj->", fs, bw.Vxx, dx) * infeasible_f
+                dv = -jnp.einsum("ti,ti->", bw.w, dx) * infeasible_f
                 d1 = dg + dv
                 d2 = dq - 2.0 * dv
             else:

@@ -42,7 +42,7 @@ def test_assoc_matches_sequential_scan(T, gaps, reg):
     reg = jnp.asarray(reg, jnp.float64)
     seq = D._fddp_backward_scan(*args, reg)
     par = fddp_backward_assoc(*args, reg)
-    names = ["k", "K", "Vxx_all", "dg", "dq", "stop", "dg_gap", "dq_gap",
+    names = ["k", "K", "w", "dg", "dq", "stop", "dg_gap", "dq_gap",
              "ok", "retryable"]
     for name, a, b in zip(names, seq, par):
         a, b = np.asarray(a), np.asarray(b)

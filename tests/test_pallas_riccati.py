@@ -72,10 +72,10 @@ def test_boxfddp_kernel_matches_scan_backward():
         tds.Lx, tds.Lxx, fss, uss,
         jnp.broadcast_to(w.bounds.lb, (B, 4)), jnp.broadcast_to(w.bounds.ub, (B, 4)),
         jnp.full((B,), 1e-6), qp_iters=6, nb=128, interpret=True)
-    k, K, Vxx, dg, dq, stop, dg_gap, dq_gap, ok, retryable = refs
+    k, K, w, dg, dq, stop, dg_gap, dq_gap, ok, retryable = refs
     assert np.allclose(out.k, k, atol=1e-8)
     assert np.allclose(out.K, K, atol=1e-8)
-    assert np.allclose(out.Vxx, Vxx, atol=1e-8)
+    assert np.allclose(out.w, w, atol=1e-8)
     assert np.allclose(out.dg, dg, rtol=1e-9, atol=1e-12)
     assert np.allclose(out.dq, dq, rtol=1e-9, atol=1e-12)
     assert np.allclose(out.dg_gap, dg_gap, rtol=1e-9, atol=1e-12)
