@@ -26,15 +26,20 @@ def main():
     import jax.numpy as jnp
     from aslr_to_tpu.parallel.batch import make_batched_solver
     from aslr_to_tpu.solvers.ddp import SolverSettings
-    from aslr_to_tpu.workloads.presets import two_dof_vsa_boxddp
+    from aslr_to_tpu.workloads import presets
 
     dtype = jnp.float32
-    w = two_dof_vsa_boxddp(T=T, dtype=dtype)
+    # PROF_WORKLOAD: "two_dof_vsa_boxddp" (default, the driver metric) or
+    # any preset name — "seven_dof_sea" traces the big-state FDDP lane path
+    wname = os.environ.get("PROF_WORKLOAD", "two_dof_vsa_boxddp")
+    w = getattr(presets, wname)(T=T, dtype=dtype)
     settings = SolverSettings(maxiter=MAXITER, th_stop=1e-5, use_pallas_backward=True,
                               boxqp_warm_iters=int(os.environ.get("BENCH_QP_WARM", "2")))
     # PROF_PATH: "lanes" (default, the production path) or "fused"
     path = os.environ.get("PROF_PATH", "lanes")
-    fn = make_batched_solver(w.problem, settings, use_gaps=False, bounds=w.bounds,
+    fn = make_batched_solver(w.problem, settings, use_gaps=w.bounds is None,
+                             bounds=w.bounds,
+                             warm_start=w.bounds is None,
                              use_fast_path="lanes" if path == "lanes" else True)
     x0s = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (BATCH, w.problem.state.nx), dtype=dtype)
 
