@@ -36,8 +36,8 @@ Scope: all four solver families on problems covered by
     clamped gap-contracting rollouts.
 
 Chain-length generic since round 5 (the spec carries ``nl``; ndx=4*nl):
-the talos_arm-class 7-DoF SEA family runs this loop at 1563 solves/s —
-98x the generic path (scripts/bench_7dof.py, docs/BENCH.md round 5).
+the talos_arm-class 7-DoF SEA family runs this loop at 2326 solves/s —
+145x the generic path (scripts/bench_7dof.py, docs/BENCH.md round 5).
 """
 from __future__ import annotations
 

@@ -195,7 +195,7 @@ def seven_dof_sea(T: int = 100, dt: float = 1e-2, dtype=jnp.float64) -> Workload
     ``talos_arm`` (``unittest/test_asr_free_fwddyn.py:51``); this preset
     is the solve-level equivalent on the :func:`..models.robots.seven_dof_arm`
     stand-in (nx=28, nu=7). Since round 5 the lane fast path covers it
-    too (dimension-generic kernels, ndx=28 — 1563 solves/s at B=1024 vs
+    too (dimension-generic kernels, ndx=28 — 2326 solves/s at B=1024 vs
     the generic path's 16, scripts/bench_7dof.py / docs/BENCH.md)."""
     from ..ops.rigid_body import frame_placement
 

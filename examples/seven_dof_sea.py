@@ -2,7 +2,7 @@
 first-class example (its test-suite runs SEA dynamics at 7-DoF,
 ``unittest/test_asr_free_fwddyn.py:51``; it ships no 7-DoF example
 script). FDDP, T=100, dt=1e-2, quasi-static warm start. Since round 5
-this family runs the dimension-generic lane kernels at 1563 solves/s
+this family runs the dimension-generic lane kernels at 2326 solves/s
 batched (scripts/bench_7dof.py); this script is the single-solve,
 reference-script-shaped view. Run with ``plot`` argv for figures.
 """
